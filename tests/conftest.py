@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the multi-chip stand-in prescribed by SURVEY.md §4.5 — sharding and
+collective paths compile and run on N virtual CPU devices; the driver's
+separate dryrun validates the same code multi-chip.
+
+Note: the environment's sitecustomize registers a TPU ("axon") PJRT plugin at
+interpreter start and overrides JAX_PLATFORMS, so the env-var route is dead by
+the time this file runs; ``jax.config.update`` before first backend use still
+wins, and XLA_FLAGS is read lazily at backend init.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,88 @@
+"""Essential matrix estimation (API parity: pycolmap/estimators/essential_matrix.h).
+
+Pipeline mirrors the reference (essential_matrix.h:25-93): normalize pixel
+points through the cameras, scale the pixel threshold to normalized units
+(:42-47), run LORANSAC, then recover the relative pose by cheirality (:77-83).
+
+TPU-native deviation: hypotheses come from batched 8-point samples projected
+onto the essential manifold instead of Nistér 5-point (see
+ops/solvers.essential_8pt docstring for the rationale); robustness is
+recovered through the much larger hypothesis batches the TPU affords.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from pycolmap_tpu.estimators.fundamental_matrix import _sampson_batched
+from pycolmap_tpu.estimators.ransac import BatchedLORANSAC, RANSACOptions
+from pycolmap_tpu.geometry import Rigid3d, Rotation3d
+from pycolmap_tpu.ops import epipolar, solvers
+
+
+def _minimal_8pt(idx, x1, x2):
+    E = solvers.essential_8pt(x1[idx], x2[idx])
+    return E[:, None], jnp.ones((E.shape[0], 1), dtype=bool)
+
+
+def _refit_8pt(weights, x1, x2):
+    E = solvers.essential_8pt(x1[None], x2[None], weights[None])
+    return E[:, None], jnp.ones((1, 1), dtype=bool)
+
+
+_engine = BatchedLORANSAC(
+    minimal_solver=_minimal_8pt,
+    residual_fn=_sampson_batched,
+    sample_size=8,
+    refit_solver=_refit_8pt,
+)
+
+
+def estimate_essential_matrix(
+    points2D1, points2D2, camera1, camera2, options: RANSACOptions = None
+):
+    """LORANSAC E estimation + cheirality pose recovery.
+
+    Returns dict(E, cam2_from_cam1, num_inliers, inliers) or None.
+    points are pixel coordinates; options.max_error is in pixels and is
+    rescaled by the mean focal lengths (ref: essential_matrix.h:42-47).
+    """
+    if options is None:
+        options = RANSACOptions()
+    options.check()
+    x1 = np.asarray(camera1.cam_from_img(points2D1), dtype=np.float32)
+    x2 = np.asarray(camera2.cam_from_img(points2D2), dtype=np.float32)
+    import copy
+
+    opt = copy.deepcopy(options)
+    opt.max_error = 0.5 * (
+        options.max_error / camera1.mean_focal_length()
+        + options.max_error / camera2.mean_focal_length()
+    )
+    report = _engine.estimate(opt, x1, x2, seed=0)
+    if not report.success:
+        return None
+    E = np.asarray(report.model, dtype=np.float64)
+    quat, trans, points3D, front = epipolar.pose_from_essential(
+        jnp.asarray(E, dtype=jnp.float32),
+        jnp.asarray(x1),
+        jnp.asarray(x2),
+        jnp.asarray(report.inlier_mask),
+    )
+    quat = np.asarray(quat, dtype=np.float64)
+    cam2_from_cam1 = Rigid3d(
+        Rotation3d(np.array([quat[1], quat[2], quat[3], quat[0]])),
+        np.asarray(trans, dtype=np.float64),
+    )
+    return {
+        "E": E,
+        "cam2_from_cam1": cam2_from_cam1,
+        "num_inliers": report.support_num_inliers,
+        "inliers": report.inlier_mask,
+        "points3D": np.asarray(points3D, dtype=np.float64)[np.asarray(front)],
+        "num_trials": report.num_trials,
+    }
+
+
+essential_matrix_estimation = estimate_essential_matrix

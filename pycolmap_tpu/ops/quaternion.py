@@ -107,12 +107,21 @@ def matrix_to_quat(R):
 
 
 def axis_angle_to_quat(aa):
-    """so(3) tangent [..., 3] -> wxyz quaternion (exponential map)."""
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    """so(3) tangent [..., 3] -> wxyz quaternion (exponential map).
+
+    Differentiable at aa = 0: the norm is guarded with the double-where
+    pattern and the sinc factor switches to its Taylor series near zero,
+    because BA linearizes exactly at the zero tangent and a plain
+    sqrt(sum(aa^2)) would feed NaN into every pose Jacobian.
+    """
+    sq = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    small = sq < 1e-12
+    angle = jnp.sqrt(jnp.where(small, 1.0, sq))
     half = 0.5 * angle
-    # sinc form is stable at angle -> 0
-    k = jnp.where(angle > 1e-8, jnp.sin(half) / jnp.maximum(angle, 1e-12), 0.5)
-    return jnp.concatenate([jnp.cos(half), k * aa], axis=-1)
+    # sin(a/2)/a = 1/2 - a^2/48 + O(a^4);  cos(a/2) = 1 - a^2/8 + O(a^4)
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+    return jnp.concatenate([w, k * aa], axis=-1)
 
 
 def quat_to_axis_angle(q):

@@ -1,0 +1,583 @@
+"""Batched minimal solvers in JAX — the hypothesis generators for RANSAC.
+
+TPU-native replacements for colmap/estimators minimal solvers (ref:
+SURVEY.md §2b "Minimal solvers"; upstream absolute_pose.cc, essential_matrix.cc,
+fundamental_matrix.cc, homography_matrix.cc, triangulation.cc, similarity
+transform). Design contract: every solver maps a *batch* of sample sets to a
+batch of hypotheses with fixed shapes — RANSAC scores all hypotheses against
+all points as one tensor op (SURVEY.md §2c P2), instead of the reference's
+serial hypothesis loop (ref: optim/ransac.h via estimators/*.h).
+
+Conventions:
+- image points are in *normalized camera plane* coordinates unless noted;
+- all functions broadcast over a leading batch axis B;
+- invalid solutions are returned as identity/zero with a validity mask, never
+  as NaN (NaN poisons downstream scoring).
+
+Small dense eigenproblems (9x9, 4x4) are solved via ``jnp.linalg.eigh`` of the
+normal matrix AᵀA — symmetric eigendecompositions map onto TPU-supported
+kernels, unlike nonsymmetric ``eig`` which XLA only provides on CPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pycolmap_tpu.ops import quaternion as qops
+
+
+# ---------------------------------------------------------------------------
+# closed-form polynomial roots (batched)
+# ---------------------------------------------------------------------------
+
+
+def solve_cubic_real(a, b, c, d):
+    """Real roots of a x^3 + b x^2 + c x + d = 0 (batched scalars).
+
+    Returns (roots [..., 3], valid [..., 3]); always at least one real root
+    when a != 0 (falls back to quadratic/linear when a ~ 0).
+    """
+    eps = 1e-12
+    a_safe = jnp.where(jnp.abs(a) < eps, 1.0, a)
+    p = (3 * a_safe * c - b * b) / (3 * a_safe * a_safe)
+    q = (2 * b**3 - 9 * a_safe * b * c + 27 * a_safe**2 * d) / (27 * a_safe**3)
+    shift = -b / (3 * a_safe)
+    disc = (q / 2) ** 2 + (p / 3) ** 3
+
+    # one real root (disc > 0): Cardano
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-q / 2 + sqrt_disc)
+    v = jnp.cbrt(-q / 2 - sqrt_disc)
+    t_single = u + v
+
+    # three real roots (disc <= 0): trigonometric form
+    p_neg = jnp.minimum(p, -eps)
+    m = 2 * jnp.sqrt(-p_neg / 3)
+    acos_arg = jnp.clip(3 * q / (p_neg * m), -1.0, 1.0)
+    theta = jnp.arccos(acos_arg) / 3
+    t0 = m * jnp.cos(theta)
+    t1 = m * jnp.cos(theta - 2 * jnp.pi / 3)
+    t2 = m * jnp.cos(theta - 4 * jnp.pi / 3)
+
+    three = disc <= 0
+    r0 = jnp.where(three, t0, t_single) + shift
+    r1 = jnp.where(three, t1, t_single) + shift
+    r2 = jnp.where(three, t2, t_single) + shift
+    roots = jnp.stack([r0, r1, r2], axis=-1)
+    valid = jnp.stack(
+        [jnp.ones_like(three), three, three], axis=-1
+    )
+    # two Newton polish steps recover float32 accuracy lost in Cardano
+    for _ in range(2):
+        pv = ((a[..., None] * roots + b[..., None]) * roots + c[..., None]) * roots + d[..., None]
+        dv = (3 * a[..., None] * roots + 2 * b[..., None]) * roots + c[..., None]
+        roots = roots - pv / jnp.where(jnp.abs(dv) < eps, eps, dv)
+
+    # degenerate cubic -> quadratic b x^2 + c x + d
+    is_quad = jnp.abs(a)[..., None] < eps
+    b_safe = jnp.where(jnp.abs(b) < eps, 1.0, b)
+    qdisc = c * c - 4 * b * d
+    qs = jnp.sqrt(jnp.maximum(qdisc, 0.0))
+    q0 = (-c + qs) / (2 * b_safe)
+    q1 = (-c - qs) / (2 * b_safe)
+    quad_roots = jnp.stack([q0, q1, jnp.zeros_like(q0)], axis=-1)
+    quad_valid = jnp.stack(
+        [qdisc >= 0, qdisc >= 0, jnp.zeros_like(qdisc, dtype=bool)], axis=-1
+    )
+    roots = jnp.where(is_quad, quad_roots, roots)
+    valid = jnp.where(is_quad, quad_valid, valid)
+    return roots, valid
+
+
+def solve_quartic_real(a, b, c, d, e):
+    """Real roots of a x^4 + b x^3 + c x^2 + d x + e = 0 (batched).
+
+    Ferrari's method via the resolvent cubic. Returns (roots [..., 4],
+    valid [..., 4]).
+    """
+    eps = 1e-12
+    a_safe = jnp.where(jnp.abs(a) < eps, 1.0, a)
+    # depressed quartic y^4 + p y^2 + q y + r, x = y - b/(4a)
+    b_, c_, d_, e_ = b / a_safe, c / a_safe, d / a_safe, e / a_safe
+    p = c_ - 3 * b_ * b_ / 8
+    q = d_ - b_ * c_ / 2 + b_**3 / 8
+    r = e_ - b_ * d_ / 4 + b_ * b_ * c_ / 16 - 3 * b_**4 / 256
+    shift = -b_ / 4
+
+    # resolvent cubic: z^3 - p z^2 - 4 r z + (4 p r - q^2) = 0
+    zr, zv = solve_cubic_real(
+        jnp.ones_like(p), -p, -4 * r, 4 * p * r - q * q
+    )
+    # pick the real root maximizing z - p (so sqrt arg is largest / stable)
+    score = jnp.where(zv, zr - p[..., None], -jnp.inf)
+    z = jnp.take_along_axis(zr, jnp.argmax(score, axis=-1)[..., None], axis=-1)[..., 0]
+
+    u2 = z - p
+    u = jnp.sqrt(jnp.maximum(u2, 0.0))
+    u_safe = jnp.where(u < eps, 1.0, u)
+    # factor into two quadratics: y^2 ± u y + (z/2 ∓ q/(2u))
+    w1 = z / 2 - q / (2 * u_safe)
+    w2 = z / 2 + q / (2 * u_safe)
+
+    d1 = u * u - 4 * w1
+    d2 = u * u - 4 * w2
+    s1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+    s2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+    y0 = (-u + s1) / 2
+    y1 = (-u - s1) / 2
+    y2 = (u + s2) / 2
+    y3 = (u - s2) / 2
+    roots = jnp.stack([y0, y1, y2, y3], axis=-1) + shift[..., None]
+    valid = jnp.stack([d1 >= 0, d1 >= 0, d2 >= 0, d2 >= 0], axis=-1)
+    # u ~ 0 degenerate (biquadratic): y^2 = (-p ± sqrt(p^2-4r))/2
+    bi = (u < eps)[..., None]
+    bdisc = p * p - 4 * r
+    bs = jnp.sqrt(jnp.maximum(bdisc, 0.0))
+    t_pos = (-p + bs) / 2
+    t_neg = (-p - bs) / 2
+    by0 = jnp.sqrt(jnp.maximum(t_pos, 0.0))
+    by2 = jnp.sqrt(jnp.maximum(t_neg, 0.0))
+    b_roots = jnp.stack([by0, -by0, by2, -by2], axis=-1) + shift[..., None]
+    b_valid = jnp.stack(
+        [(bdisc >= 0) & (t_pos >= 0)] * 2 + [(bdisc >= 0) & (t_neg >= 0)] * 2,
+        axis=-1,
+    )
+    roots = jnp.where(bi, b_roots, roots)
+    valid = jnp.where(bi, b_valid, valid)
+    # Newton polish for float32 accuracy
+    an, bn, cn, dn, en = (x[..., None] for x in (a, b, c, d, e))
+    for _ in range(2):
+        pv = (((an * roots + bn) * roots + cn) * roots + dn) * roots + en
+        dv = ((4 * an * roots + 3 * bn) * roots + 2 * cn) * roots + dn
+        roots = roots - pv / jnp.where(jnp.abs(dv) < eps, eps, dv)
+    return roots, valid
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def smallest_eigvec(A):
+    """Eigenvector of the smallest eigenvalue of symmetric A [..., n, n]."""
+    w, v = jnp.linalg.eigh(A)
+    return v[..., :, 0]
+
+
+def normalize_points_2d(x, w=None):
+    """Hartley normalization: similarity T s.t. centroid 0, RMS dist sqrt(2).
+
+    x: [..., N, 2]; w: optional [..., N] weights. Returns (x_norm, T [...,3,3]).
+    """
+    if w is None:
+        w = jnp.ones(x.shape[:-1], dtype=x.dtype)
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    centroid = jnp.sum(x * w[..., None], axis=-2) / wsum
+    diff = x - centroid[..., None, :]
+    rms = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum(jnp.sum(diff * diff, axis=-1) * w, axis=-1) / wsum[..., 0],
+            1e-12,
+        )
+    )
+    scale = jnp.sqrt(2.0) / rms
+    x_norm = diff * scale[..., None, None]
+    zeros = jnp.zeros_like(scale)
+    ones = jnp.ones_like(scale)
+    T = jnp.stack(
+        [
+            scale, zeros, -scale * centroid[..., 0],
+            zeros, scale, -scale * centroid[..., 1],
+            zeros, zeros, ones,
+        ],
+        axis=-1,
+    ).reshape(x.shape[:-2] + (3, 3))
+    return x_norm, T
+
+
+# ---------------------------------------------------------------------------
+# homography: n-point weighted DLT (n >= 4)
+# ---------------------------------------------------------------------------
+
+
+def homography_dlt(x1, x2, w=None):
+    """H such that x2 ~ H x1. x1, x2: [..., N, 2]; w: [..., N] weights.
+
+    Weighted normalized DLT; works for minimal (N=4) and refit (N large,
+    weights = inlier mask). Returns H [..., 3, 3] (unnormalized scale).
+    """
+    if w is None:
+        w = jnp.ones(x1.shape[:-1], dtype=x1.dtype)
+    x1n, T1 = normalize_points_2d(x1, w)
+    x2n, T2 = normalize_points_2d(x2, w)
+    u, v = x1n[..., 0], x1n[..., 1]
+    up, vp = x2n[..., 0], x2n[..., 1]
+    zero = jnp.zeros_like(u)
+    one = jnp.ones_like(u)
+    # rows: [-u,-v,-1, 0,0,0, u*up, v*up, up] and [0,0,0, -u,-v,-1, u*vp, v*vp, vp]
+    r1 = jnp.stack([-u, -v, -one, zero, zero, zero, u * up, v * up, up], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, -u, -v, -one, u * vp, v * vp, vp], axis=-1)
+    A = jnp.concatenate([r1 * w[..., None], r2 * w[..., None]], axis=-2)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    h = smallest_eigvec(AtA)
+    Hn = h.reshape(h.shape[:-1] + (3, 3))
+    # denormalize: H = T2^-1 Hn T1
+    H = jnp.linalg.solve(T2, Hn @ T1)
+    return H / jnp.where(jnp.abs(H[..., 2:3, 2:3]) < 1e-12, 1.0, H[..., 2:3, 2:3])
+
+
+# ---------------------------------------------------------------------------
+# fundamental / essential matrices
+# ---------------------------------------------------------------------------
+
+
+def _epipolar_design(x1, x2, w):
+    u, v = x1[..., 0], x1[..., 1]
+    up, vp = x2[..., 0], x2[..., 1]
+    one = jnp.ones_like(u)
+    A = jnp.stack(
+        [up * u, up * v, up, vp * u, vp * v, vp, u, v, one], axis=-1
+    )
+    return A * w[..., None]
+
+
+def fundamental_8pt(x1, x2, w=None):
+    """Normalized weighted 8-point algorithm. x: [..., N, 2], N >= 8.
+
+    Returns F [..., 3, 3] with rank-2 constraint enforced.
+    """
+    if w is None:
+        w = jnp.ones(x1.shape[:-1], dtype=x1.dtype)
+    x1n, T1 = normalize_points_2d(x1, w)
+    x2n, T2 = normalize_points_2d(x2, w)
+    A = _epipolar_design(x1n, x2n, w)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    f = smallest_eigvec(AtA)
+    Fn = f.reshape(f.shape[:-1] + (3, 3))
+    # rank-2 projection
+    U, S, Vt = jnp.linalg.svd(Fn)
+    S = S.at[..., 2].set(0.0)
+    Fn = U @ (S[..., :, None] * Vt)
+    F = jnp.swapaxes(T2, -1, -2) @ Fn @ T1
+    norm = jnp.linalg.norm(F.reshape(F.shape[:-2] + (9,)), axis=-1, keepdims=True)
+    return F / jnp.maximum(norm[..., None], 1e-12)
+
+
+def essential_8pt(x1, x2, w=None):
+    """8-point essential matrix: 8pt + projection onto the essential manifold
+    (singular values (1, 1, 0)).
+
+    TPU-first design note: the reference uses Nistér 5-point as the minimal
+    solver (ref: estimators/essential_matrix.h:48-52). Its degree-10
+    polynomial needs a nonsymmetric eigensolver, which XLA lacks on TPU;
+    batched hypothesis generation is cheap here, so we draw 8-point samples
+    instead and compensate with more RANSAC trials (same robustness target,
+    hardware-friendly math).
+    """
+    F = fundamental_8pt(x1, x2, w)
+    U, S, Vt = jnp.linalg.svd(F)
+    # project: det(U Vt) sign fix, singular values -> (1,1,0)
+    det = jnp.linalg.det(U @ Vt)
+    s = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), jnp.zeros_like(det)], -1)
+    E = U @ (s[..., :, None] * Vt)
+    return E
+
+
+def fundamental_7pt(x1, x2):
+    """7-point algorithm: up to 3 solutions. x: [..., 7, 2].
+
+    Returns (F [..., 3, 3, 3], valid [..., 3]).
+    """
+    w = jnp.ones(x1.shape[:-1], dtype=x1.dtype)
+    x1n, T1 = normalize_points_2d(x1, w)
+    x2n, T2 = normalize_points_2d(x2, w)
+    A = _epipolar_design(x1n, x2n, w)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    eigw, eigv = jnp.linalg.eigh(AtA)
+    f1 = eigv[..., :, 0]
+    f2 = eigv[..., :, 1]
+    F1 = f1.reshape(f1.shape[:-1] + (3, 3))
+    F2 = f2.reshape(f2.shape[:-1] + (3, 3))
+
+    # det(a F1 + (1-a) F2) = 0 -> cubic in a
+    D = F1 - F2
+
+    def det3(M):
+        return jnp.linalg.det(M)
+
+    # coefficients via evaluation at 4 points (deg-3 polynomial interpolation)
+    # p(a) = det(F2 + a D); evaluate at a = 0, 1, -1, 2
+    p0 = det3(F2)
+    p1 = det3(F2 + D)
+    pm1 = det3(F2 - D)
+    p2 = det3(F2 + 2 * D)
+    # p(a) = c3 a^3 + c2 a^2 + c1 a + c0
+    c0 = p0
+    c2 = (p1 + pm1) / 2 - p0
+    c3 = (p2 - 2 * p1 + p0 - 2 * c2) / 6
+    c1 = p1 - c0 - c2 - c3
+    roots, valid = solve_cubic_real(c3, c2, c1, c0)
+    a = roots[..., :, None, None]
+    Fn = F2[..., None, :, :] + a * D[..., None, :, :]
+    F = (
+        jnp.swapaxes(T2, -1, -2)[..., None, :, :]
+        @ Fn
+        @ T1[..., None, :, :]
+    )
+    norm = jnp.linalg.norm(
+        F.reshape(F.shape[:-2] + (9,)), axis=-1, keepdims=True
+    )[..., None]
+    return F / jnp.maximum(norm, 1e-12), valid
+
+
+def decompose_essential(E):
+    """E [..., 3, 3] -> (R1, R2, t) candidate decompositions (Hartley-Zisserman)."""
+    U, S, Vt = jnp.linalg.svd(E)
+    # flip signs so U and V are proper rotations
+    detU = jnp.linalg.det(U)
+    detV = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2))
+    U = U * jnp.where(detU[..., None, None] < 0, -1.0, 1.0)
+    Vt = Vt * jnp.where(detV[..., None, None] < 0, -1.0, 1.0)
+    W = jnp.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[..., :, 2]
+    return R1, R2, t
+
+
+# ---------------------------------------------------------------------------
+# triangulation
+# ---------------------------------------------------------------------------
+
+
+def triangulate_dlt(proj, x, w=None):
+    """Multi-view DLT triangulation.
+
+    proj: [..., M, 3, 4] projection matrices (world -> normalized image plane,
+    i.e. [R|t] for calibrated cameras); x: [..., M, 2] normalized points;
+    w: [..., M] view weights/mask. Returns X [..., 3] (world).
+    """
+    if w is None:
+        w = jnp.ones(x.shape[:-1], dtype=x.dtype)
+    r0 = x[..., 0:1] * proj[..., 2, :] - proj[..., 0, :]  # [..., M, 4]
+    r1 = x[..., 1:2] * proj[..., 2, :] - proj[..., 1, :]
+    A = jnp.concatenate([r0 * w[..., None], r1 * w[..., None]], axis=-2)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    Xh = smallest_eigvec(AtA)
+    wcoord = Xh[..., 3]
+    denom = jnp.where(jnp.abs(wcoord) < 1e-12, 1e-12, wcoord)
+    return Xh[..., :3] / denom[..., None]
+
+
+def triangulate_midpoint(center1, dir1, center2, dir2):
+    """Mid-point triangulation for two rays (world frame)."""
+    # solve [d1, -d2] [s; t] = c2 - c1 in least squares
+    d11 = jnp.sum(dir1 * dir1, axis=-1)
+    d12 = jnp.sum(dir1 * dir2, axis=-1)
+    d22 = jnp.sum(dir2 * dir2, axis=-1)
+    dc = center2 - center1
+    b1 = jnp.sum(dir1 * dc, axis=-1)
+    b2 = jnp.sum(dir2 * dc, axis=-1)
+    det = d11 * d22 - d12 * d12
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    s = (b1 * d22 - b2 * d12) / det
+    t = (b1 * d12 - b2 * d11) / det
+    p1 = center1 + s[..., None] * dir1
+    p2 = center2 + t[..., None] * dir2
+    return 0.5 * (p1 + p2)
+
+
+# ---------------------------------------------------------------------------
+# absolute pose: P3P (Grunert) + DLT-PnP for refits
+# ---------------------------------------------------------------------------
+
+
+def p3p(x, X):
+    """P3P (Grunert's distance formulation + quartic).
+
+    x: [..., 3, 2] normalized image points; X: [..., 3, 3] world points.
+    Returns (quat [..., 4, 4] wxyz, trans [..., 4, 3], valid [..., 4]) — up
+    to 4 cam_from_world pose candidates.
+    """
+    # unit rays
+    rays = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    f1, f2, f3 = rays[..., 0, :], rays[..., 1, :], rays[..., 2, :]
+    P1, P2, P3 = X[..., 0, :], X[..., 1, :], X[..., 2, :]
+
+    # inter-point distances
+    a = jnp.linalg.norm(P2 - P3, axis=-1)  # opposite vertex 1
+    b = jnp.linalg.norm(P1 - P3, axis=-1)
+    c = jnp.linalg.norm(P1 - P2, axis=-1)
+    cos_alpha = jnp.sum(f2 * f3, axis=-1)
+    cos_beta = jnp.sum(f1 * f3, axis=-1)
+    cos_gamma = jnp.sum(f1 * f2, axis=-1)
+
+    a2, b2, c2 = a * a, b * b, c * c
+    # Grunert's quartic in v = s3/s1 (coefficients per Haralick et al. 1991;
+    # verified symbolically against synthetic poses).
+    eps = 1e-12
+    b2_safe = jnp.where(b2 < eps, 1.0, b2)
+    p = (a2 - c2) / b2_safe
+    q = (a2 + c2) / b2_safe
+
+    A4 = (p - 1) ** 2 - 4 * c2 / b2_safe * cos_alpha**2
+    A3 = 4 * (
+        p * (1 - p) * cos_beta
+        - (1 - q) * cos_alpha * cos_gamma
+        + 2 * c2 / b2_safe * cos_alpha**2 * cos_beta
+    )
+    A2 = 2 * (
+        p**2
+        - 1
+        + 2 * p**2 * cos_beta**2
+        + 2 * (b2 - c2) / b2_safe * cos_alpha**2
+        - 4 * q * cos_alpha * cos_beta * cos_gamma
+        + 2 * (b2 - a2) / b2_safe * cos_gamma**2
+    )
+    A1 = 4 * (
+        -p * (1 + p) * cos_beta
+        + 2 * a2 / b2_safe * cos_gamma**2 * cos_beta
+        - (1 - q) * cos_alpha * cos_gamma
+    )
+    A0 = (1 + p) ** 2 - 4 * a2 / b2_safe * cos_gamma**2
+
+    roots, valid = solve_quartic_real(A4, A3, A2, A1, A0)  # v = s3/s1
+
+    def pose_from_root(v):
+        # s1 from the beta equation: s1^2 (1 + v^2 - 2 v cos_beta) = b^2
+        denom1 = 1 + v * v - 2 * v * cos_beta
+        s1 = jnp.sqrt(b2 / jnp.where(denom1 < eps, eps, denom1))
+        # u = s2/s1 from combining the alpha and gamma equations
+        uden = 2 * (cos_gamma - v * cos_alpha)
+        u = ((-1 + p) * v * v - 2 * p * cos_beta * v + 1 + p) / jnp.where(
+            jnp.abs(uden) < eps, eps, uden
+        )
+        s2 = u * s1
+        s3 = v * s1
+        # Newton polish of (s1,s2,s3) on the three law-of-cosines equations —
+        # recovers the accuracy float32 loses in the quartic
+        for _ in range(3):
+            g1 = s2 * s2 + s3 * s3 - 2 * s2 * s3 * cos_alpha - a2
+            g2 = s1 * s1 + s3 * s3 - 2 * s1 * s3 * cos_beta - b2
+            g3 = s1 * s1 + s2 * s2 - 2 * s1 * s2 * cos_gamma - c2
+            J = jnp.stack(
+                [
+                    jnp.zeros_like(s1), 2 * s2 - 2 * s3 * cos_alpha, 2 * s3 - 2 * s2 * cos_alpha,
+                    2 * s1 - 2 * s3 * cos_beta, jnp.zeros_like(s1), 2 * s3 - 2 * s1 * cos_beta,
+                    2 * s1 - 2 * s2 * cos_gamma, 2 * s2 - 2 * s1 * cos_gamma, jnp.zeros_like(s1),
+                ],
+                axis=-1,
+            ).reshape(s1.shape + (3, 3))
+            g = jnp.stack([g1, g2, g3], axis=-1)
+            JtJ = jnp.swapaxes(J, -1, -2) @ J + 1e-9 * jnp.eye(3, dtype=J.dtype)
+            rhs = jnp.einsum("...ji,...j->...i", J, g)
+            delta = jnp.linalg.solve(JtJ, rhs[..., None])[..., 0]
+            s1 = s1 - delta[..., 0]
+            s2 = s2 - delta[..., 1]
+            s3 = s3 - delta[..., 2]
+        cam_pts = jnp.stack(
+            [s1[..., None] * f1, s2[..., None] * f2, s3[..., None] * f3], axis=-2
+        )
+        return cam_pts, (s1 > 0) & (s2 > 0) & (s3 > 0) & (denom1 > eps)
+
+    quats, transs, valids = [], [], []
+    for k in range(4):
+        v = roots[..., k]
+        cam_pts, pos_ok = pose_from_root(v)
+        q_k, t_k, ok = _rigid_from_3pts(X, cam_pts)
+        quats.append(q_k)
+        transs.append(t_k)
+        valids.append(valid[..., k] & pos_ok & ok)
+    return (
+        jnp.stack(quats, axis=-2),
+        jnp.stack(transs, axis=-2),
+        jnp.stack(valids, axis=-1),
+    )
+
+
+def _rigid_from_3pts(world_pts, cam_pts):
+    """Absolute orientation cam_from_world from 3 corresponding points.
+
+    Procrustes on the 3-point sets (centroid + SVD). Returns (quat, t, ok).
+    """
+    wc = jnp.mean(world_pts, axis=-2, keepdims=True)
+    cc = jnp.mean(cam_pts, axis=-2, keepdims=True)
+    Wd = world_pts - wc
+    Cd = cam_pts - cc
+    H = jnp.einsum("...ni,...nj->...ij", Wd, Cd)  # world -> cam covariance
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    D = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], axis=-1)
+    R = jnp.swapaxes(Vt, -1, -2) @ (D[..., :, None] * jnp.swapaxes(U, -1, -2))
+    t = cc[..., 0, :] - jnp.einsum("...ij,...j->...i", R, wc[..., 0, :])
+    ok = S[..., 1] > 1e-12  # non-degenerate (not collinear)
+    return qops.matrix_to_quat(R), t, ok
+
+
+def pnp_dlt(x, X, w=None):
+    """Linear PnP for n >= 6 points (DLT on the 3x4 projection matrix).
+
+    x: [..., N, 2] normalized points; X: [..., N, 3] world points; w weights.
+    Returns (quat wxyz, trans) of cam_from_world with R orthogonalized.
+    """
+    if w is None:
+        w = jnp.ones(x.shape[:-1], dtype=x.dtype)
+    Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+    zero = jnp.zeros_like(Xh)
+    u = x[..., 0:1]
+    v = x[..., 1:2]
+    r1 = jnp.concatenate([Xh, zero, -u * Xh], axis=-1)  # [..., N, 12]
+    r2 = jnp.concatenate([zero, Xh, -v * Xh], axis=-1)
+    A = jnp.concatenate([r1 * w[..., None], r2 * w[..., None]], axis=-2)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    pvec = smallest_eigvec(AtA)
+    P = pvec.reshape(pvec.shape[:-1] + (3, 4))
+    M = P[..., :3]
+    # sign: points should have positive depth on average
+    depths = jnp.einsum("...ij,...nj->...ni", P, Xh)[..., 2]
+    sign = jnp.sign(jnp.sum(jnp.sign(depths) * w, axis=-1))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    P = P * sign[..., None, None]
+    M = P[..., :3]
+    # scale + orthogonalize via SVD
+    U, S, Vt = jnp.linalg.svd(M)
+    detUV = jnp.linalg.det(U @ Vt)
+    D = jnp.stack([jnp.ones_like(detUV)] * 2 + [detUV], axis=-1)
+    R = U @ (D[..., :, None] * Vt)
+    scale = jnp.mean(S, axis=-1) * jnp.ones_like(detUV)
+    scale = jnp.where(scale < 1e-12, 1e-12, scale)
+    t = P[..., 3] / scale[..., None]
+    return qops.matrix_to_quat(R), t
+
+
+# ---------------------------------------------------------------------------
+# similarity transform (Umeyama)
+# ---------------------------------------------------------------------------
+
+
+def umeyama(src, dst, w=None, with_scale=True):
+    """Weighted Umeyama: s, R, t minimizing |dst - (s R src + t)|².
+
+    src, dst: [..., N, 3]; w: [..., N]. Returns (scale, quat wxyz, t).
+    """
+    if w is None:
+        w = jnp.ones(src.shape[:-1], dtype=src.dtype)
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    mu_s = jnp.sum(src * w[..., None], axis=-2) / wsum
+    mu_d = jnp.sum(dst * w[..., None], axis=-2) / wsum
+    sc = src - mu_s[..., None, :]
+    dc = dst - mu_d[..., None, :]
+    cov = jnp.einsum("...n,...ni,...nj->...ij", w, dc, sc) / wsum[..., :, None]
+    var_s = jnp.sum(jnp.sum(sc * sc, axis=-1) * w, axis=-1) / wsum[..., 0]
+    U, S, Vt = jnp.linalg.svd(cov)
+    d = jnp.linalg.det(U) * jnp.linalg.det(jnp.swapaxes(Vt, -1, -2))
+    D = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], axis=-1)
+    R = U @ (D[..., :, None] * Vt)
+    if with_scale:
+        scale = jnp.sum(S * D, axis=-1) / jnp.maximum(var_s, 1e-12)
+    else:
+        scale = jnp.ones_like(var_s)
+    t = mu_d - scale[..., None] * jnp.einsum("...ij,...j->...i", R, mu_s)
+    return scale, qops.matrix_to_quat(R), t

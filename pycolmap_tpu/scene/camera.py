@@ -40,7 +40,7 @@ def _padded_apply(fn, params, pts: np.ndarray) -> np.ndarray:
     n_pad = _next_pow2(n)
     if n_pad != n:
         pts = np.concatenate([pts, np.zeros((n_pad - n, 2))], axis=0)
-    out = np.asarray(
+    out = np.array(
         fn(jnp.asarray(params, dtype=jnp.float32), jnp.asarray(pts, dtype=jnp.float32))
     )[:n]
     return out[0] if squeeze else out

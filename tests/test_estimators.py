@@ -1,0 +1,187 @@
+"""Property tests: RANSAC estimators recover planted geometry under outliers
+(test strategy per SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pycolmap_tpu.estimators import (
+    RANSACOptions,
+    absolute_pose_estimation,
+    estimate_calibrated_two_view_geometry,
+    estimate_essential_matrix,
+    estimate_fundamental_matrix,
+    estimate_homography_matrix,
+    estimate_triangulation,
+    estimate_two_view_geometry_pose,
+    pose_refinement,
+)
+from pycolmap_tpu.estimators.two_view_geometry import TwoViewGeometryConfiguration
+from pycolmap_tpu.geometry import Rigid3d, Rotation3d
+from pycolmap_tpu.scene import Camera
+
+
+def make_camera(f=600.0, w=640, h=480):
+    return Camera.create(1, "PINHOLE", f, w, h)
+
+
+def synth_two_view(
+    n=200, outlier_ratio=0.3, noise=0.5, seed=0, f=600.0, planar=False
+):
+    """Pixel-space correspondences from a known relative pose."""
+    rng = np.random.default_rng(seed)
+    cam = make_camera(f)
+    if planar:
+        X = np.concatenate(
+            [rng.uniform(-2, 2, (n, 2)), np.zeros((n, 1))], axis=1
+        ) + np.array([0, 0, 6.0])
+    else:
+        X = rng.uniform(-2, 2, (n, 3)) + np.array([0, 0, 6.0])
+    rel = Rigid3d(
+        Rotation3d(np.array([0.05, 0.3, -0.02])), np.array([1.0, 0.1, 0.05])
+    )
+    x1 = cam.img_from_cam(X[:, :2] / X[:, 2:])
+    Xc2 = rel * X
+    x2 = cam.img_from_cam(Xc2[:, :2] / Xc2[:, 2:])
+    x1 += rng.normal(0, noise, x1.shape)
+    x2 += rng.normal(0, noise, x2.shape)
+    n_out = int(outlier_ratio * n)
+    idx = rng.choice(n, n_out, replace=False)
+    x2[idx] = rng.uniform(0, [cam.width, cam.height], (n_out, 2))
+    inlier_gt = np.ones(n, dtype=bool)
+    inlier_gt[idx] = False
+    return cam, x1, x2, rel, inlier_gt
+
+
+class TestFundamental:
+    def test_recovers_inliers(self):
+        cam, x1, x2, rel, gt = synth_two_view()
+        res = estimate_fundamental_matrix(x1, x2)
+        assert res is not None
+        # recovered inliers should mostly be true inliers
+        agreement = (res["inliers"] & gt).sum() / gt.sum()
+        assert agreement > 0.9
+        false_pos = (res["inliers"] & ~gt).sum()
+        assert false_pos < 0.05 * len(x1)
+
+    def test_too_few_points(self):
+        res = estimate_fundamental_matrix(np.zeros((5, 2)), np.zeros((5, 2)))
+        assert res is None
+
+    def test_deterministic(self):
+        cam, x1, x2, rel, gt = synth_two_view(seed=3)
+        r1 = estimate_fundamental_matrix(x1, x2)
+        r2 = estimate_fundamental_matrix(x1, x2)
+        assert np.allclose(r1["F"], r2["F"])
+        assert r1["num_inliers"] == r2["num_inliers"]
+
+
+class TestEssential:
+    def test_recovers_pose(self):
+        cam, x1, x2, rel, gt = synth_two_view(outlier_ratio=0.2)
+        res = estimate_essential_matrix(x1, x2, cam, cam)
+        assert res is not None
+        assert res["num_inliers"] > 0.8 * gt.sum()
+        pose = res["cam2_from_cam1"]
+        rot_err = np.rad2deg(pose.rotation.angle_to(rel.rotation))
+        assert rot_err < 1.0
+        t_est = pose.translation / np.linalg.norm(pose.translation)
+        t_true = rel.translation / np.linalg.norm(rel.translation)
+        assert np.abs(t_est - t_true).max() < 0.05
+
+
+class TestHomography:
+    def test_planar_scene(self):
+        cam, x1, x2, rel, gt = synth_two_view(planar=True, outlier_ratio=0.3)
+        res = estimate_homography_matrix(x1, x2)
+        assert res is not None
+        assert res["num_inliers"] > 0.85 * gt.sum()
+
+
+class TestAbsolutePose:
+    def test_pnp(self):
+        rng = np.random.default_rng(0)
+        cam = make_camera()
+        n = 100
+        X = rng.uniform(-2, 2, (n, 3)) + np.array([0, 0, 6.0])
+        pose = Rigid3d(
+            Rotation3d(np.array([0.2, -0.1, 0.4])), np.array([0.3, -0.2, 0.5])
+        )
+        Xc = pose * X
+        x = cam.img_from_cam(Xc[:, :2] / Xc[:, 2:]) + rng.normal(0, 0.5, (n, 2))
+        n_out = 30
+        idx = rng.choice(n, n_out, replace=False)
+        x[idx] = rng.uniform(0, [cam.width, cam.height], (n_out, 2))
+        res = absolute_pose_estimation(x, X, cam)
+        assert res is not None
+        assert res["num_inliers"] >= 0.9 * (n - n_out)
+        est = res["cam_from_world"]
+        assert np.rad2deg(est.rotation.angle_to(pose.rotation)) < 0.5
+        assert np.abs(est.translation - pose.translation).max() < 0.05
+
+    def test_refinement_improves(self):
+        rng = np.random.default_rng(1)
+        cam = make_camera()
+        n = 50
+        X = rng.uniform(-2, 2, (n, 3)) + np.array([0, 0, 6.0])
+        pose = Rigid3d(Rotation3d(np.array([0.1, 0.0, 0.2])), np.array([0.1, 0.0, 0.3]))
+        Xc = pose * X
+        x = cam.img_from_cam(Xc[:, :2] / Xc[:, 2:])
+        # perturb the pose
+        bad = Rigid3d(
+            Rotation3d(np.array([0.13, 0.01, 0.22])), pose.translation + 0.05
+        )
+        res = pose_refinement(bad, x, X, np.ones(n, dtype=bool), cam)
+        refined = res["cam_from_world"]
+        assert refined.rotation.angle_to(pose.rotation) < bad.rotation.angle_to(
+            pose.rotation
+        )
+        assert np.abs(refined.translation - pose.translation).max() < 1e-3
+
+
+class TestTriangulation:
+    def test_multiview(self):
+        rng = np.random.default_rng(0)
+        cam = make_camera()
+        X_true = np.array([0.5, -0.3, 8.0])
+        poses = []
+        obs = []
+        for i in range(6):
+            pose = Rigid3d(
+                Rotation3d(np.array([0.0, 0.15 * i, 0.0])),
+                np.array([1.0 * i - 2.5, 0.0, 0.0]),
+            )
+            Xc = pose * X_true
+            obs.append(cam.img_from_cam(Xc[None, :2] / Xc[2])[0] + rng.normal(0, 0.3, 2))
+            poses.append(pose)
+        res = estimate_triangulation(obs, poses, [cam] * 6)
+        assert res is not None
+        assert np.abs(res["point3D"] - X_true).max() < 0.05
+
+
+class TestTwoViewGeometry:
+    def test_calibrated_decision(self):
+        cam, x1, x2, rel, gt = synth_two_view(outlier_ratio=0.2)
+        g = estimate_calibrated_two_view_geometry(cam, x1, cam, x2)
+        assert g.config == int(TwoViewGeometryConfiguration.CALIBRATED)
+        assert len(g.inlier_matches) > 0.8 * gt.sum()
+        ok = estimate_two_view_geometry_pose(cam, x1, cam, x2, g)
+        assert ok
+        assert np.rad2deg(g.cam2_from_cam1.rotation.angle_to(rel.rotation)) < 1.0
+
+    def test_planar_decision(self):
+        cam, x1, x2, rel, gt = synth_two_view(planar=True, outlier_ratio=0.1)
+        g = estimate_calibrated_two_view_geometry(cam, x1, cam, x2)
+        assert g.config in (
+            int(TwoViewGeometryConfiguration.PLANAR_OR_PANORAMIC),
+            int(TwoViewGeometryConfiguration.PLANAR),
+            int(TwoViewGeometryConfiguration.CALIBRATED),
+        )
+
+    def test_degenerate(self):
+        cam = make_camera()
+        g = estimate_calibrated_two_view_geometry(
+            cam, np.zeros((5, 2)), cam, np.zeros((5, 2))
+        )
+        assert g.config == int(TwoViewGeometryConfiguration.DEGENERATE)

@@ -1,0 +1,109 @@
+"""Benchmark: bundle-adjustment LM iterations/sec on a C3-scale problem.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Problem scale mirrors BASELINE.md C3 (south-building full, 128 images):
+128 cameras, 100k points, ~600k observations. The metric is steady-state
+Levenberg-Marquardt iterations/sec of the Schur-eliminated PCG solver
+(each LM iteration = residuals + 21-tangent fwd-mode Jacobians + point-block
+factorization + 20 PCG iterations on the reduced camera system + back-subst).
+
+vs_baseline: the reference (pycolmap/COLMAP+Ceres) is not installable in this
+environment (no pip; COLMAP C++ not vendored), so the baseline is the same
+solver pinned to single-host CPU — the hardware class the reference runs on
+for this scene scale (BASELINE.md: reference has no GPU BA; Ceres BA is
+CPU-only). vs_baseline = tpu_iters_per_sec / cpu_iters_per_sec.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+NUM_IMAGES = 128
+NUM_POINTS = 100_000
+OBS_PER_POINT = 6
+CG_ITERS = 20
+LM_ITERS = 20
+
+
+def run_ba(lm_iters: int):
+    import jax
+
+    from pycolmap_tpu.parallel.synthetic import make_synthetic_bundle
+    from pycolmap_tpu.sfm.bundle_adjustment import (
+        BundleAdjustmentOptions,
+        solve_bundle,
+    )
+
+    problem = make_synthetic_bundle(
+        num_images=NUM_IMAGES,
+        num_points=NUM_POINTS,
+        obs_per_point=OBS_PER_POINT,
+        pose_noise=0.05,
+        point_noise=0.10,
+        refine_intrinsics=True,
+        seed=0,
+    )
+    options = BundleAdjustmentOptions()
+    options.max_num_iterations = lm_iters
+    options.function_tolerance = 0.0
+
+    # compile + warmup (2 LM iterations)
+    options_warm = BundleAdjustmentOptions()
+    options_warm.max_num_iterations = lm_iters
+    _, s_warm = solve_bundle(problem, options_warm, cg_iters=CG_ITERS)
+
+    t0 = time.perf_counter()
+    _, summary = solve_bundle(problem, options, cg_iters=CG_ITERS)
+    dt = time.perf_counter() - t0
+    iters = max(summary.num_iterations, 1)
+    return iters / dt, summary
+
+
+def main():
+    if os.environ.get("BENCH_CPU_WORKER"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        rate, _ = run_ba(lm_iters=3)
+        print(json.dumps({"cpu_rate": rate}))
+        return
+
+    rate, summary = run_ba(lm_iters=LM_ITERS)
+
+    # CPU baseline in a subprocess (fresh backend selection)
+    cpu_rate = None
+    try:
+        env = dict(os.environ)
+        env["BENCH_CPU_WORKER"] = "1"
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                cpu_rate = json.loads(line).get("cpu_rate")
+    except Exception:
+        cpu_rate = None
+
+    vs_baseline = (rate / cpu_rate) if cpu_rate else None
+    print(
+        json.dumps(
+            {
+                "metric": "ba_lm_iterations_per_sec_128img_600kobs",
+                "value": round(rate, 3),
+                "unit": "iters/s",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,505 @@
+"""SIFT feature extraction as batched JAX/XLA kernels.
+
+TPU-native replacement for the reference's VLFeat-CPU / SiftGPU extractors
+(ref: pycolmap/feature/sift.h:31-118, pipeline/extract_features.h:64-139).
+Contract matches ``Sift.extract`` (feature/sift.h:41-80): grayscale array in,
+(keypoints Nx4 [x, y, scale, orientation], descriptors Nx128 float ~unit
+norm) out.
+
+Design (fixed shapes everywhere — XLA-friendly):
+- Gaussian pyramid: separable convolutions (XLA conv = MXU work);
+- DoG extrema: 3x3x3 max/min via reduce_window, thresholds as masks;
+- subpixel refinement: one 3x3x3 quadratic fit (closed-form 3x3 solve);
+- per-octave top-K keypoint budget by scale (COLMAP keeps largest-scale
+  features when over budget), padded with a validity mask;
+- orientation histograms and 4x4x8 descriptors from a fixed 16x16 sample
+  grid bilinearly gathered at scale-dependent positions — one gather +
+  einsum per octave instead of VLFeat's per-keypoint loops;
+- L1_ROOT / L2 normalization (ref: extract_features.h Normalization).
+
+Every stage is jit; per-image-resolution compilation is cached.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pycolmap_tpu.utils.options import BaseOptions, options_dataclass
+
+
+class Normalization(enum.IntEnum):
+    L1_ROOT = 0
+    L2 = 1
+
+
+@options_dataclass
+class SiftExtractionOptions(BaseOptions):
+    """Defaults mirror reference SiftExtractionOptions (extract_features.h:64-139)."""
+
+    max_image_size: int = 3200
+    max_num_features: int = 8192
+    first_octave: int = -1
+    num_octaves: int = 4
+    octave_resolution: int = 3
+    peak_threshold: float = 0.02 / 3
+    edge_threshold: float = 10.0
+    estimate_affine_shape: bool = False
+    upright: bool = False
+    darkness_adaptivity: bool = False
+    domain_size_pooling: bool = False
+    dsp_min_scale: float = 1.0 / 6
+    dsp_max_scale: float = 3.0
+    dsp_num_scales: int = 10
+    normalization: Normalization = Normalization.L1_ROOT
+    max_num_orientations: int = 2
+    num_threads: int = -1
+    use_gpu: bool = True
+    gpu_index: str = "-1"
+
+
+_SIGMA0 = 1.6  # base blur of octave level 0
+_SIGMA_N = 0.5  # nominal blur of the input image
+_ORI_BINS = 36
+_DESC_SPATIAL = 4  # 4x4 descriptor bins
+_DESC_ORI = 8
+_GRID = 16  # sample grid per side for orientation/descriptor
+
+
+def _gaussian_kernel1d(sigma: float):
+    radius = max(int(math.ceil(4.0 * sigma)), 1)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img, sigma: float):
+    """Separable Gaussian blur of [H, W] image (reflect padding)."""
+    if sigma < 1e-6:
+        return img
+    k = jnp.asarray(_gaussian_kernel1d(sigma))
+    r = (k.shape[0] - 1) // 2
+    # horizontal
+    p = jnp.pad(img, ((0, 0), (r, r)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        p[None, None], k[None, None, None, :], (1, 1), "VALID"
+    )[0, 0]
+    p = jnp.pad(out, ((r, r), (0, 0)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        p[None, None], k[None, None, :, None], (1, 1), "VALID"
+    )[0, 0]
+    return out
+
+
+def _upsample2(img):
+    h, w = img.shape
+    return jax.image.resize(img, (2 * h, 2 * w), method="bilinear")
+
+
+def _downsample2(img):
+    return img[::2, ::2]
+
+
+def _build_octave(base, S: int):
+    """base: level-0 gaussian of the octave. Returns gauss [S+3, H, W]."""
+    levels = [base]
+    for s in range(1, S + 3):
+        sigma_prev = _SIGMA0 * (2.0 ** ((s - 1) / S))
+        sigma_cur = _SIGMA0 * (2.0 ** (s / S))
+        delta = math.sqrt(max(sigma_cur**2 - sigma_prev**2, 1e-8))
+        levels.append(_blur(levels[-1], delta))
+    return jnp.stack(levels)
+
+
+def _detect_octave(gauss, dog, S: int, peak_threshold, edge_threshold, max_kps: int):
+    """One octave: detect + refine extrema.
+
+    Returns (xys [K, 3] (x, y, level_float) in octave coords, scale_rel [K],
+    response [K], mask [K]).
+    """
+    L, H, W = dog.shape
+    # 3D extremum test on interior levels 1..S
+    mx = jax.lax.reduce_window(
+        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    mn = jax.lax.reduce_window(
+        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    is_ext = ((dog >= mx) | (dog <= mn)) & (jnp.abs(dog) > 0.8 * peak_threshold)
+    # restrict to interior
+    lev = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 2)
+    border = 4
+    interior = (
+        (lev >= 1) & (lev <= S)
+        & (row >= border) & (row < H - border)
+        & (col >= border) & (col < W - border)
+    )
+    is_ext = is_ext & interior
+
+    # finite-difference derivatives (full grids; cheap vector ops)
+    def shift(a, dl, dr, dc):
+        return jnp.roll(a, (-dl, -dr, -dc), axis=(0, 1, 2))
+
+    d = dog
+    gl = 0.5 * (shift(d, 1, 0, 0) - shift(d, -1, 0, 0))
+    gr = 0.5 * (shift(d, 0, 1, 0) - shift(d, 0, -1, 0))
+    gc = 0.5 * (shift(d, 0, 0, 1) - shift(d, 0, 0, -1))
+    hll = shift(d, 1, 0, 0) + shift(d, -1, 0, 0) - 2 * d
+    hrr = shift(d, 0, 1, 0) + shift(d, 0, -1, 0) - 2 * d
+    hcc = shift(d, 0, 0, 1) + shift(d, 0, 0, -1) - 2 * d
+    hlr = 0.25 * (
+        shift(d, 1, 1, 0) + shift(d, -1, -1, 0) - shift(d, 1, -1, 0) - shift(d, -1, 1, 0)
+    )
+    hlc = 0.25 * (
+        shift(d, 1, 0, 1) + shift(d, -1, 0, -1) - shift(d, 1, 0, -1) - shift(d, -1, 0, 1)
+    )
+    hrc = 0.25 * (
+        shift(d, 0, 1, 1) + shift(d, 0, -1, -1) - shift(d, 0, 1, -1) - shift(d, 0, -1, 1)
+    )
+
+    # solve 3x3 H x = -g  (order: level, row, col)
+    Hm = jnp.stack(
+        [hll, hlr, hlc, hlr, hrr, hrc, hlc, hrc, hcc], axis=-1
+    ).reshape(dog.shape + (3, 3))
+    g = jnp.stack([gl, gr, gc], axis=-1)
+    Hm_reg = Hm + 1e-6 * jnp.eye(3, dtype=dog.dtype)
+    offset = -jnp.linalg.solve(Hm_reg, g[..., None])[..., 0]
+    offset = jnp.clip(offset, -0.5, 0.5)
+    refined = d + 0.5 * jnp.sum(g * offset, axis=-1)
+
+    # edge response on the spatial 2x2 Hessian
+    tr = hrr + hcc
+    det = hrr * hcc - hrc * hrc
+    r = edge_threshold
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+
+    valid = is_ext & edge_ok & (jnp.abs(refined) > peak_threshold)
+
+    # per-octave top-K by scale (then response) — COLMAP keeps largest scales
+    lev_f = lev.astype(jnp.float32) + offset[..., 0]
+    scale_rel = _SIGMA0 * (2.0 ** (lev_f / S))  # in octave pixel units
+    sel_key = jnp.where(valid, scale_rel, -jnp.inf).reshape(-1)
+    topv, topi = jax.lax.top_k(sel_key, max_kps)
+    mask = jnp.isfinite(topv) & (topv > 0)
+
+    li = topi // (H * W)
+    ri = (topi % (H * W)) // W
+    ci = topi % W
+    off_sel = offset.reshape(-1, 3)[topi]
+    x = ci.astype(jnp.float32) + off_sel[:, 2]
+    y = ri.astype(jnp.float32) + off_sel[:, 1]
+    lev_sel = li.astype(jnp.float32) + off_sel[:, 0]
+    resp = refined.reshape(-1)[topi]
+    scale_sel = _SIGMA0 * (2.0 ** (lev_sel / S))
+    level_idx = jnp.clip(jnp.round(lev_sel).astype(jnp.int32), 1, S)
+    return x, y, lev_sel, level_idx, scale_sel, resp, mask
+
+
+def _bilinear_gather(img, ys, xs):
+    """img [H, W]; ys/xs [...]-shaped float coords. Zero padding outside."""
+    H, W = img.shape
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    dx = xs - x0
+    dy = ys - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def get(yi, xi):
+        ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yi = jnp.clip(yi, 0, H - 1)
+        xi = jnp.clip(xi, 0, W - 1)
+        return jnp.where(ok, img[yi, xi], 0.0)
+
+    return (
+        get(y0i, x0i) * (1 - dy) * (1 - dx)
+        + get(y0i, x0i + 1) * (1 - dy) * dx
+        + get(y0i + 1, x0i) * dy * (1 - dx)
+        + get(y0i + 1, x0i + 1) * dy * dx
+    )
+
+
+def _octave_gradients(gauss):
+    """Central-difference gradient magnitude + angle per level. [L,H,W] each."""
+    gx = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
+    gy = 0.5 * (jnp.roll(gauss, -1, axis=1) - jnp.roll(gauss, 1, axis=1))
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+    ang = jnp.arctan2(gy, gx)
+    return mag, ang
+
+
+def _orientations(mag, ang, x, y, level_idx, scale_rel, mask, max_num_orientations):
+    """36-bin Gaussian-weighted orientation histogram per keypoint.
+
+    Returns (orients [K, O], ori_mask [K, O]).
+    """
+    K = x.shape[0]
+    G = _GRID
+    win_factor = 1.5
+    radius = 3.0 * win_factor * scale_rel  # [K]
+    # fixed sample grid in [-1, 1]
+    u = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * 2.0 - 1.0
+    uu, vv = jnp.meshgrid(u, u)  # [G, G]
+    sx = x[:, None, None] + radius[:, None, None] * uu[None]
+    sy = y[:, None, None] + radius[:, None, None] * vv[None]
+
+    # gather from each keypoint's level
+    def per_kp(level, ys, xs):
+        m = _bilinear_gather_level(mag, level, ys, xs)
+        a = _bilinear_gather_level(ang, level, ys, xs)
+        return m, a
+
+    m, a = jax.vmap(per_kp)(level_idx, sy, sx)  # [K, G, G]
+    # Gaussian weight in window coords
+    dist2 = uu[None] ** 2 + vv[None] ** 2
+    w = jnp.exp(-dist2 / (2 * (2.0 / 3.0) ** 2))  # sigma = 1.5σ over radius 4.5σ
+    wm = m * w[None]
+    # histogram: soft-assign to 36 bins
+    bins = (a / (2 * jnp.pi) + 0.5) * _ORI_BINS  # [K,G,G] in [0,36)
+    b0 = jnp.floor(bins - 0.5)
+    frac = bins - 0.5 - b0
+    b0i = jnp.mod(b0.astype(jnp.int32), _ORI_BINS)
+    b1i = jnp.mod(b0i + 1, _ORI_BINS)
+    flat_w0 = (wm * (1 - frac)).reshape(K, -1)
+    flat_w1 = (wm * frac).reshape(K, -1)
+    onehot0 = jax.nn.one_hot(b0i.reshape(K, -1), _ORI_BINS, dtype=m.dtype)
+    onehot1 = jax.nn.one_hot(b1i.reshape(K, -1), _ORI_BINS, dtype=m.dtype)
+    hist = jnp.einsum("kg,kgb->kb", flat_w0, onehot0) + jnp.einsum(
+        "kg,kgb->kb", flat_w1, onehot1
+    )
+    # smooth histogram (6 passes of [1/3,1/3,1/3], as in VLFeat)
+    for _ in range(6):
+        hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0
+    # peaks
+    left = jnp.roll(hist, 1, axis=1)
+    right = jnp.roll(hist, -1, axis=1)
+    hmax = jnp.max(hist, axis=1, keepdims=True)
+    is_peak = (hist > left) & (hist > right) & (hist >= 0.8 * hmax)
+    # top-O peaks by value
+    peak_val = jnp.where(is_peak, hist, -jnp.inf)
+    top_vals, top_bins = jax.lax.top_k(peak_val, max_num_orientations)
+    ori_mask = jnp.isfinite(top_vals) & mask[:, None]
+    # parabolic interpolation
+    hl = jnp.take_along_axis(hist, jnp.mod(top_bins - 1, _ORI_BINS), axis=1)
+    hc = jnp.take_along_axis(hist, top_bins, axis=1)
+    hr = jnp.take_along_axis(hist, jnp.mod(top_bins + 1, _ORI_BINS), axis=1)
+    denom = hl - 2 * hc + hr
+    di = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
+    bin_f = top_bins.astype(jnp.float32) + di
+    theta = (bin_f + 0.5) / _ORI_BINS * 2 * jnp.pi - jnp.pi
+    return theta, ori_mask
+
+
+def _bilinear_gather_level(vol, level, ys, xs):
+    """vol [L, H, W]; level scalar int; ys/xs [...] floats."""
+    L, H, W = vol.shape
+    img = vol[level]
+    return _bilinear_gather(img, ys, xs)
+
+
+def _precompute_descriptor_weights():
+    """Constant spatial bilinear weights from the 16x16 grid to 4x4 bins."""
+    G = _GRID
+    D = _DESC_SPATIAL
+    # sample positions in bin units: [-D/2, D/2]
+    u = (np.arange(G) + 0.5) / G * D - D / 2  # in bins
+    W = np.zeros((G * G, D * D), dtype=np.float32)
+    for i in range(G):
+        for j in range(G):
+            # bilinear weight to each bin center (-1.5, -0.5, .5, 1.5)
+            for bi in range(D):
+                for bj in range(D):
+                    cy = bi - (D - 1) / 2
+                    cx = bj - (D - 1) / 2
+                    wy = max(0.0, 1.0 - abs(u[i] - cy))
+                    wx = max(0.0, 1.0 - abs(u[j] - cx))
+                    W[i * G + j, bi * D + bj] = wy * wx
+    # Gaussian window over the descriptor support
+    sigma = D / 2.0
+    g = np.exp(-(u[None, :] ** 2 + u[:, None] ** 2) / (2 * sigma**2))
+    return W * g.reshape(-1, 1).astype(np.float32)
+
+
+_DESC_W = _precompute_descriptor_weights()  # [256, 16]
+
+
+def _descriptors(mag, ang, x, y, level_idx, scale_rel, theta, normalization):
+    """Fixed-grid SIFT descriptors. x,y,scale per keypoint-orientation.
+
+    mag/ang: [L, H, W]; x,y [K]; theta [K]. Returns [K, 128] float32.
+    """
+    K = x.shape[0]
+    G = _GRID
+    D = _DESC_SPATIAL
+    mag_factor = 3.0  # bin width = 3 * sigma
+    half = D / 2 * mag_factor * scale_rel  # descriptor support half-width
+    u = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * 2.0 - 1.0
+    uu, vv = jnp.meshgrid(u, u)
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    # rotate sample offsets by theta
+    ox = half[:, None, None] * (c[:, None, None] * uu[None] - s[:, None, None] * vv[None])
+    oy = half[:, None, None] * (s[:, None, None] * uu[None] + c[:, None, None] * vv[None])
+    sx = x[:, None, None] + ox
+    sy = y[:, None, None] + oy
+
+    def per_kp(level, ys, xs):
+        m = _bilinear_gather_level(mag, level, ys, xs)
+        a = _bilinear_gather_level(ang, level, ys, xs)
+        return m, a
+
+    m, a = jax.vmap(per_kp)(level_idx, sy, sx)  # [K, G, G]
+    rel = a - theta[:, None, None]
+    obin = jnp.mod(rel / (2 * jnp.pi) * _DESC_ORI, _DESC_ORI)
+    b0 = jnp.floor(obin)
+    frac = obin - b0
+    b0i = jnp.mod(b0.astype(jnp.int32), _DESC_ORI)
+    b1i = jnp.mod(b0i + 1, _DESC_ORI)
+    o0 = jax.nn.one_hot(b0i.reshape(K, -1), _DESC_ORI, dtype=m.dtype) * (
+        (1 - frac).reshape(K, -1, 1)
+    )
+    o1 = jax.nn.one_hot(b1i.reshape(K, -1), _DESC_ORI, dtype=m.dtype) * (
+        frac.reshape(K, -1, 1)
+    )
+    ow = (o0 + o1) * m.reshape(K, -1, 1)  # [K, 256, 8]
+    desc = jnp.einsum("kso,st->kto", ow, jnp.asarray(_DESC_W))  # [K, 16, 8]
+    desc = desc.reshape(K, -1)
+    # normalize: L2 -> clamp 0.2 -> renormalize
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
+    desc = jnp.minimum(desc, 0.2)
+    if normalization == int(Normalization.L1_ROOT):
+        desc = desc / jnp.maximum(jnp.sum(desc, axis=1, keepdims=True), 1e-12)
+        desc = jnp.sqrt(desc)
+    else:
+        desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
+    return desc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "num_octaves", "S", "first_octave",
+        "per_octave_kps", "max_num_orientations", "normalization", "upright",
+        "peak_threshold", "edge_threshold",
+    ),
+)
+def _extract_jit(
+    image, height, width, num_octaves, S, first_octave, per_octave_kps,
+    max_num_orientations, normalization, upright, peak_threshold, edge_threshold,
+):
+    """Full SIFT for one image. Returns padded keypoints/descs + mask."""
+    img = image.astype(jnp.float32)
+
+    # base image at first octave
+    if first_octave < 0:
+        base = _upsample2(img)
+        base_sigma = 2.0 * _SIGMA_N
+    else:
+        base = img
+        base_sigma = _SIGMA_N
+    delta = math.sqrt(max(_SIGMA0**2 - base_sigma**2, 0.01))
+    base = _blur(base, delta)
+
+    all_out = []
+    octave_scale = 2.0 ** first_octave
+    for o in range(num_octaves):
+        gauss = _build_octave(base, S)
+        dog = gauss[1:] - gauss[:-1]
+        x, y, lev_f, level_idx, scale_rel, resp, mask = _detect_octave(
+            gauss, dog, S, peak_threshold, edge_threshold, per_octave_kps
+        )
+        mag, ang = _octave_gradients(gauss)
+        if upright:
+            theta = jnp.zeros((x.shape[0], 1), dtype=jnp.float32)
+            ori_mask = mask[:, None]
+        else:
+            theta, ori_mask = _orientations(
+                mag, ang, x, y, level_idx, scale_rel, mask, max_num_orientations
+            )
+        O = theta.shape[1]
+        # expand keypoints per orientation
+        xe = jnp.repeat(x[:, None], O, 1).reshape(-1)
+        ye = jnp.repeat(y[:, None], O, 1).reshape(-1)
+        le = jnp.repeat(level_idx[:, None], O, 1).reshape(-1)
+        se = jnp.repeat(scale_rel[:, None], O, 1).reshape(-1)
+        th = theta.reshape(-1)
+        me = ori_mask.reshape(-1)
+        desc = _descriptors(mag, ang, xe, ye, le, se, th, normalization)
+        # map to input-image coordinates
+        kp_x = xe * octave_scale
+        kp_y = ye * octave_scale
+        kp_scale = se * octave_scale
+        all_out.append((kp_x, kp_y, kp_scale, th, desc, me))
+        # next octave
+        base = _downsample2(gauss[S])
+        octave_scale *= 2.0
+
+    kp_x = jnp.concatenate([a[0] for a in all_out])
+    kp_y = jnp.concatenate([a[1] for a in all_out])
+    kp_s = jnp.concatenate([a[2] for a in all_out])
+    kp_t = jnp.concatenate([a[3] for a in all_out])
+    descs = jnp.concatenate([a[4] for a in all_out])
+    masks = jnp.concatenate([a[5] for a in all_out])
+    return kp_x, kp_y, kp_s, kp_t, descs, masks
+
+
+class Sift:
+    """In-memory SIFT extractor (API parity: feature/sift.h class Sift)."""
+
+    def __init__(self, options: SiftExtractionOptions = None, device=None):
+        self.options = options if options is not None else SiftExtractionOptions()
+
+    def extract(self, image: np.ndarray):
+        """image: HxW uint8 or float (0..1 or 0..255 float also accepted).
+
+        Returns (keypoints Nx4 [x, y, scale, orientation], descriptors
+        Nx128 float32).
+        """
+        img = np.asarray(image)
+        if img.ndim == 3:
+            img = img.mean(axis=2)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        else:
+            img = img.astype(np.float32)
+            if img.max() > 2.0:  # 0..255 float input
+                img = img / 255.0
+        h, w = img.shape
+        opts = self.options
+        max_dim = max(h, w) * (2 if opts.first_octave < 0 else 1)
+        num_octaves = min(
+            opts.num_octaves, max(1, int(math.log2(max_dim)) - 3)
+        )
+        per_octave = max(256, opts.max_num_features // max(num_octaves, 1))
+        kp_x, kp_y, kp_s, kp_t, descs, mask = _extract_jit(
+            jnp.asarray(img),
+            h, w, num_octaves, opts.octave_resolution, opts.first_octave,
+            per_octave, opts.max_num_orientations,
+            int(opts.normalization), opts.upright,
+            float(opts.peak_threshold), float(opts.edge_threshold),
+        )
+        mask = np.asarray(mask)
+        kps = np.stack(
+            [np.asarray(kp_x), np.asarray(kp_y), np.asarray(kp_s), np.asarray(kp_t)],
+            axis=1,
+        )[mask]
+        descs = np.asarray(descs)[mask]
+        # global budget: keep largest-scale features (COLMAP semantics)
+        if len(kps) > self.options.max_num_features:
+            order = np.argsort(-kps[:, 2], kind="stable")[: self.options.max_num_features]
+            order = np.sort(order)
+            kps = kps[order]
+            descs = descs[order]
+        return kps.astype(np.float32), descs.astype(np.float32)
+
+
+def extract_sift(image, options: SiftExtractionOptions = None):
+    """Functional one-shot API."""
+    return Sift(options).extract(image)

@@ -1,0 +1,93 @@
+"""Distributed bundle adjustment over a device mesh (SURVEY.md §2c P4).
+
+The LM solver in sfm/bundle_adjustment.py is written entirely in terms of
+per-observation tensor ops and segment-sums. Sharding the observation axis
+across a ``jax.sharding.Mesh`` therefore turns every camera/point-block
+reduction into a partial sum followed by an XLA-inserted all-reduce over ICI
+— the "per-shard Schur elimination + collective assembly" scheme of
+BASELINE.json, with no changes to the solver itself.
+
+Layout:
+- observation arrays  [M, ...]  -> sharded over the 'obs' mesh axis;
+- camera/pose/intrinsic blocks  -> replicated (small; psum-assembled);
+- point blocks                  -> replicated in this revision (the scatter
+  to points crosses shards; a point-aligned partitioning is the planned
+  refinement for multi-host scale).
+
+Observations are padded with mask=0 rows to a multiple of the mesh size, so
+shapes stay static for any device count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pycolmap_tpu.sfm.bundle_adjustment import BundleProblem
+
+
+def make_obs_mesh(devices=None, axis_name: str = "obs") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def pad_observations(problem: BundleProblem, multiple: int) -> BundleProblem:
+    """Pad the observation axis to a multiple with masked-out rows."""
+    m = problem.num_obs
+    m_pad = ((m + multiple - 1) // multiple) * multiple
+    if m_pad == m:
+        return problem
+    pad = m_pad - m
+
+    def pad_arr(a, fill=0):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    return problem._replace(
+        obs_image_idx=pad_arr(problem.obs_image_idx),
+        obs_camera_idx=pad_arr(problem.obs_camera_idx),
+        obs_point_idx=pad_arr(problem.obs_point_idx),
+        obs_xy=pad_arr(problem.obs_xy),
+        obs_mask=pad_arr(problem.obs_mask),
+    )
+
+
+def shard_bundle_problem(problem: BundleProblem, mesh: Mesh) -> BundleProblem:
+    """Place the problem on the mesh: obs sharded, parameters replicated."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    problem = pad_observations(problem, n)
+    obs_sharding = NamedSharding(mesh, P(axis))
+    rep_sharding = NamedSharding(mesh, P())
+
+    def put(a, sharding):
+        return jax.device_put(a, sharding)
+
+    return problem._replace(
+        cam_quat=put(problem.cam_quat, rep_sharding),
+        cam_trans=put(problem.cam_trans, rep_sharding),
+        intrinsics=put(problem.intrinsics, rep_sharding),
+        points=put(problem.points, rep_sharding),
+        obs_image_idx=put(problem.obs_image_idx, obs_sharding),
+        obs_camera_idx=put(problem.obs_camera_idx, obs_sharding),
+        obs_point_idx=put(problem.obs_point_idx, obs_sharding),
+        obs_xy=put(problem.obs_xy, obs_sharding),
+        obs_mask=put(problem.obs_mask, obs_sharding),
+        pose_free=put(problem.pose_free, rep_sharding),
+        intr_free=put(problem.intr_free, rep_sharding),
+        point_free=put(problem.point_free, rep_sharding),
+    )
+
+
+def solve_bundle_sharded(problem: BundleProblem, options, mesh: Mesh = None,
+                         cg_iters: int = 30):
+    """Distributed solve: shard, then reuse the single-source LM solver."""
+    from pycolmap_tpu.sfm.bundle_adjustment import solve_bundle
+
+    if mesh is None:
+        mesh = make_obs_mesh()
+    sharded = shard_bundle_problem(problem, mesh)
+    return solve_bundle(sharded, options, cg_iters=cg_iters)

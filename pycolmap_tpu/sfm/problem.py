@@ -1,0 +1,177 @@
+"""Build/apply BundleProblem arrays from/to a Reconstruction.
+
+The equivalent of upstream BundleAdjustmentConfig + problem setup
+(ref: pipeline/sfm.h:95-103): select images/points, choose constant blocks
+for gauge fixing, flatten observations into SoA arrays, and write the
+optimized parameters back into the scene objects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pycolmap_tpu.geometry import Rigid3d, Rotation3d
+from pycolmap_tpu.ops import camera_models as cm
+from pycolmap_tpu.scene.point2d import INVALID_POINT3D_ID
+from pycolmap_tpu.sfm.bundle_adjustment import BundleAdjustmentOptions, BundleProblem
+
+
+class ProblemMapping:
+    """Index maps from problem rows back to scene ids."""
+
+    __slots__ = ("image_ids", "camera_ids", "point_ids")
+
+    def __init__(self, image_ids, camera_ids, point_ids):
+        self.image_ids = list(image_ids)
+        self.camera_ids = list(camera_ids)
+        self.point_ids = list(point_ids)
+
+
+def _intr_free_mask(camera, options: BundleAdjustmentOptions):
+    mask = np.zeros(cm.MAX_PARAMS, dtype=np.float32)
+    info = cm.CAMERA_MODEL_BY_NAME[camera.model]
+    if options.refine_focal_length:
+        for i in info.focal_idxs:
+            mask[i] = 1.0
+    if options.refine_principal_point:
+        for i in info.principal_idxs:
+            mask[i] = 1.0
+    if options.refine_extra_params:
+        for i in info.extra_idxs:
+            mask[i] = 1.0
+    return mask
+
+
+def build_bundle_problem(
+    reconstruction,
+    options: BundleAdjustmentOptions = None,
+    image_ids=None,
+    constant_pose_ids=(),
+    constant_tvec_x_ids=(),
+    constant_point_ids=(),
+    variable_point_ids=None,
+    dtype=jnp.float32,
+):
+    """Flatten (a subset of) the reconstruction into a BundleProblem.
+
+    image_ids: images to include (default: all registered). Points included
+    are those observed by >= 2 included images unless variable_point_ids is
+    given; points observed by excluded registered images stay variable (their
+    other observations are simply not part of this local problem, matching
+    local-BA semantics).
+    """
+    if options is None:
+        options = BundleAdjustmentOptions()
+    if image_ids is None:
+        image_ids = reconstruction.reg_image_ids
+    image_ids = [i for i in image_ids if reconstruction.images[i].registered]
+    image_index = {iid: k for k, iid in enumerate(image_ids)}
+
+    camera_ids = sorted({reconstruction.images[i].camera_id for i in image_ids})
+    camera_index = {cid: k for k, cid in enumerate(camera_ids)}
+    model_names = {reconstruction.cameras[c].model for c in camera_ids}
+    if len(model_names) > 1:
+        raise NotImplementedError(
+            "mixed camera models in one bundle not yet supported"
+        )
+    model_id = cm.model_id_from_name(next(iter(model_names))) if camera_ids else 1
+
+    # collect observations of points seen by included images
+    point_ids = []
+    point_index = {}
+    obs_image, obs_cam, obs_point, obs_xy = [], [], [], []
+    for iid in image_ids:
+        img = reconstruction.images[iid]
+        cam_row = camera_index[img.camera_id]
+        p3d = img.points2D_point3D_ids
+        xy = img.points2D_xy
+        for k in np.nonzero(p3d != np.uint64(INVALID_POINT3D_ID))[0]:
+            pid = int(p3d[k])
+            if variable_point_ids is not None and pid not in variable_point_ids:
+                continue
+            if pid not in point_index:
+                point_index[pid] = len(point_ids)
+                point_ids.append(pid)
+            obs_image.append(image_index[iid])
+            obs_cam.append(cam_row)
+            obs_point.append(point_index[pid])
+            obs_xy.append(xy[k])
+
+    num_i, num_c, num_p, num_m = (
+        len(image_ids), len(camera_ids), len(point_ids), len(obs_image),
+    )
+    cam_quat = np.zeros((max(num_i, 1), 4), dtype=np.float32)
+    cam_trans = np.zeros((max(num_i, 1), 3), dtype=np.float32)
+    cam_quat[:, 0] = 1.0
+    for iid, k in image_index.items():
+        q = reconstruction.images[iid].cam_from_world.rotation.quat  # xyzw
+        cam_quat[k] = [q[3], q[0], q[1], q[2]]
+        cam_trans[k] = reconstruction.images[iid].cam_from_world.translation
+
+    intrinsics = np.zeros((max(num_c, 1), cm.MAX_PARAMS), dtype=np.float32)
+    intr_free = np.zeros((max(num_c, 1), cm.MAX_PARAMS), dtype=np.float32)
+    for cid, k in camera_index.items():
+        cam = reconstruction.cameras[cid]
+        intrinsics[k, : len(cam.params)] = cam.params
+        intr_free[k] = _intr_free_mask(cam, options)
+
+    points = np.zeros((max(num_p, 1), 3), dtype=np.float32)
+    for pid, k in point_index.items():
+        points[k] = reconstruction.points3D[pid].xyz
+
+    pose_free = np.ones((max(num_i, 1), 6), dtype=np.float32)
+    if not options.refine_extrinsics:
+        pose_free[:] = 0.0
+    for iid in constant_pose_ids:
+        if iid in image_index:
+            pose_free[image_index[iid]] = 0.0
+    for iid in constant_tvec_x_ids:
+        if iid in image_index:
+            pose_free[image_index[iid], 3] = 0.0
+
+    point_free = np.ones(max(num_p, 1), dtype=np.float32)
+    for pid in constant_point_ids:
+        if pid in point_index:
+            point_free[point_index[pid]] = 0.0
+
+    problem = BundleProblem(
+        cam_quat=jnp.asarray(cam_quat),
+        cam_trans=jnp.asarray(cam_trans),
+        intrinsics=jnp.asarray(intrinsics),
+        points=jnp.asarray(points),
+        model_id=model_id,
+        obs_image_idx=jnp.asarray(
+            np.asarray(obs_image, dtype=np.int32).reshape(-1)
+        ),
+        obs_camera_idx=jnp.asarray(np.asarray(obs_cam, dtype=np.int32).reshape(-1)),
+        obs_point_idx=jnp.asarray(np.asarray(obs_point, dtype=np.int32).reshape(-1)),
+        obs_xy=jnp.asarray(
+            np.asarray(obs_xy, dtype=np.float32).reshape(-1, 2)
+        ),
+        obs_mask=jnp.ones(num_m, dtype=jnp.float32),
+        pose_free=jnp.asarray(pose_free),
+        intr_free=jnp.asarray(intr_free),
+        point_free=jnp.asarray(point_free),
+    )
+    mapping = ProblemMapping(image_ids, camera_ids, point_ids)
+    return problem, mapping
+
+
+def apply_bundle_solution(reconstruction, problem: BundleProblem, mapping: ProblemMapping):
+    """Write optimized parameters back into the reconstruction."""
+    cam_quat = np.asarray(problem.cam_quat, dtype=np.float64)
+    cam_trans = np.asarray(problem.cam_trans, dtype=np.float64)
+    intrinsics = np.asarray(problem.intrinsics, dtype=np.float64)
+    points = np.asarray(problem.points, dtype=np.float64)
+    for k, iid in enumerate(mapping.image_ids):
+        q = cam_quat[k]
+        reconstruction.images[iid].cam_from_world = Rigid3d(
+            Rotation3d(np.array([q[1], q[2], q[3], q[0]])), cam_trans[k]
+        )
+    for k, cid in enumerate(mapping.camera_ids):
+        cam = reconstruction.cameras[cid]
+        cam.params[:] = intrinsics[k, : len(cam.params)]
+    for k, pid in enumerate(mapping.point_ids):
+        if pid in reconstruction.points3D:
+            reconstruction.points3D[pid].xyz = points[k]

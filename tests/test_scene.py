@@ -20,18 +20,33 @@ from pycolmap_tpu.scene import (
 
 
 def build_synthetic_reconstruction(num_images=4, num_points=50, seed=0):
-    """A consistent synthetic scene: cameras in a ring looking at points."""
+    """A consistent synthetic scene: cameras on an arc looking at the points.
+
+    Every camera faces the point-cloud centroid, so all projections have
+    positive depth regardless of num_images.
+    """
     rng = np.random.default_rng(seed)
     rec = Reconstruction()
     cam = Camera.create(1, "SIMPLE_RADIAL", 600.0, 640, 480)
     cam.params[3] = 0.02
     rec.add_camera(cam)
-    points = rng.uniform(-1, 1, (num_points, 3)) + np.array([0, 0, 5.0])
+    target = np.array([0.0, 0.0, 5.0])
+    points = rng.uniform(-1, 1, (num_points, 3)) + target
     images = []
     for i in range(num_images):
-        angle = 0.2 * i
-        R = Rotation3d(np.array([0.0, angle, 0.0]))
-        t = np.array([0.5 * i, 0.0, 0.0])
+        # camera center on an arc around the cloud
+        theta = -0.5 + i * (1.0 / max(num_images - 1, 1))
+        center = target + 5.0 * np.array([np.sin(theta), 0.1 * np.sin(2 * theta), -np.cos(theta)])
+        # look-at rotation: z-axis toward target
+        fwd = target - center
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R_wc = np.stack([right, up2, fwd], axis=0)  # world->cam rows
+        R = Rotation3d(R_wc)
+        t = -R_wc @ center
         img = Image(name=f"image{i}.jpg", camera_id=1, id=i + 1)
         img.cam_from_world = Rigid3d(R, t)
         # project all points to get keypoints

@@ -24,6 +24,79 @@ from pycolmap_tpu.scene import (
     image_pair_to_pair_id,
     pair_id_to_image_pair,
 )
+from pycolmap_tpu.estimators import (
+    AbsolutePoseEstimationOptions,
+    AbsolutePoseRefinementOptions,
+    ImageAlignmentError,
+    RANSACOptions,
+    TwoViewGeometry,
+    TwoViewGeometryConfiguration,
+    TwoViewGeometryOptions,
+    absolute_pose_estimation,
+    align_reconstructions_via_points,
+    align_reconstructions_via_proj_centers,
+    align_reconstructions_via_reprojections,
+    compare_reconstructions,
+    essential_matrix_estimation,
+    estimate_absolute_pose,
+    estimate_calibrated_two_view_geometry,
+    estimate_essential_matrix,
+    estimate_fundamental_matrix,
+    estimate_homography_matrix,
+    estimate_triangulation,
+    estimate_two_view_geometry,
+    estimate_two_view_geometry_pose,
+    fundamental_matrix_estimation,
+    homography_matrix_estimation,
+    pose_refinement,
+    refine_absolute_pose,
+)
+from pycolmap_tpu.features import (
+    Normalization,
+    Sift,
+    SiftExtractionOptions,
+    SiftMatchingOptions,
+    extract_sift,
+    match_descriptors,
+    match_guided,
+)
+from pycolmap_tpu.pipeline import (
+    CameraMode,
+    ExhaustiveMatchingOptions,
+    ImageReaderOptions,
+    IncrementalPipelineOptions,
+    ReconstructionManager,
+    SequentialMatchingOptions,
+    SpatialMatchingOptions,
+    UndistortCameraOptions,
+    VocabTreeMatchingOptions,
+    bundle_adjustment,
+    extract_features,
+    import_images,
+    incremental_mapping,
+    infer_camera_from_image,
+    match_exhaustive,
+    match_sequential,
+    match_spatial,
+    match_vocabtree,
+    triangulate_points,
+    undistort_images,
+    verify_matches,
+)
+from pycolmap_tpu.sfm.bundle_adjustment import (
+    BundleAdjustmentOptions,
+    LossFunctionType,
+)
+from pycolmap_tpu.sfm.incremental_mapper import (
+    ImageSelectionMethod,
+    IncrementalMapper,
+    IncrementalMapperOptions,
+)
+from pycolmap_tpu.sfm.incremental_triangulator import (
+    IncrementalTriangulator,
+    IncrementalTriangulatorOptions,
+)
+from pycolmap_tpu.utils.logging import logging
 
 has_cuda = False  # TPU framework; kept for reference API compatibility
 has_tpu = None  # resolved lazily on first device query

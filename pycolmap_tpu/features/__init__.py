@@ -1,1 +1,11 @@
-
+from pycolmap_tpu.features.matcher import (
+    SiftMatchingOptions,
+    match_descriptors,
+    match_guided,
+)
+from pycolmap_tpu.features.sift import (
+    Normalization,
+    Sift,
+    SiftExtractionOptions,
+    extract_sift,
+)

@@ -1,0 +1,351 @@
+"""Feature matching + geometric verification pipelines.
+
+API parity: pycolmap/pipeline/match_features.h — the four pairing
+strategies: ``match_exhaustive`` (:219, ExhaustiveMatchingOptions :102-108),
+``match_sequential`` (:228, SequentialMatchingOptions :110-152),
+``match_spatial`` (:237, SpatialMatchingOptions :154-175),
+``match_vocabtree`` (:246, VocabTreeMatchingOptions :177-214), and
+``verify_matches`` (:51-68).
+
+Pair-parallel design (SURVEY.md §2c P1): the pair list is generated on the
+host; each pair's descriptor matching is one MXU matmul and its geometric
+verification one batched LORANSAC — both device-side. Block scheduling
+mirrors the reference's cache-friendly ``block_size`` blocking.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import defaultdict
+
+import numpy as np
+
+from pycolmap_tpu.estimators.two_view_geometry import (
+    TwoViewGeometryConfiguration,
+    TwoViewGeometryOptions,
+    estimate_calibrated_two_view_geometry,
+    estimate_two_view_geometry,
+)
+from pycolmap_tpu.features.matcher import (
+    SiftMatchingOptions,
+    match_descriptors,
+    match_guided,
+)
+from pycolmap_tpu.scene import Database
+from pycolmap_tpu.utils.options import BaseOptions, options_dataclass
+
+
+@options_dataclass
+class ExhaustiveMatchingOptions(BaseOptions):
+    block_size: int = 50
+
+
+@options_dataclass
+class SequentialMatchingOptions(BaseOptions):
+    overlap: int = 10
+    quadratic_overlap: bool = True
+    loop_detection: bool = False
+    loop_detection_period: int = 10
+    loop_detection_num_images: int = 50
+    loop_detection_num_nearest_neighbors: int = 1
+    loop_detection_num_checks: int = 256
+    loop_detection_num_images_after_verification: int = 0
+    loop_detection_max_num_features: int = -1
+    vocab_tree_path: str = ""
+
+
+@options_dataclass
+class SpatialMatchingOptions(BaseOptions):
+    ignore_z: bool = True
+    max_num_neighbors: int = 50
+    max_distance: float = 100.0
+
+
+@options_dataclass
+class VocabTreeMatchingOptions(BaseOptions):
+    num_images: int = 100
+    num_nearest_neighbors: int = 5
+    num_checks: int = 256
+    num_images_after_verification: int = 0
+    max_num_features: int = -1
+    vocab_tree_path: str = ""
+    match_list_path: str = ""
+
+
+class _FeatureCache:
+    """Host-side cache of per-image keypoints/descriptors/cameras."""
+
+    def __init__(self, db: Database):
+        self.db = db
+        self.keypoints = {}
+        self.descriptors = {}
+        self.cameras = {}
+        self.image_cam = {}
+
+    def load(self, image_id: int):
+        if image_id not in self.keypoints:
+            self.keypoints[image_id] = self.db.read_keypoints(image_id)
+            self.descriptors[image_id] = self.db.read_descriptors(image_id)
+        return self.keypoints[image_id], self.descriptors[image_id]
+
+    def camera_of(self, image_id: int):
+        if image_id not in self.image_cam:
+            img = self.db.read_image(image_id)
+            self.image_cam[image_id] = img.camera_id
+        cam_id = self.image_cam[image_id]
+        if cam_id not in self.cameras:
+            self.cameras[cam_id] = self.db.read_camera(cam_id)
+        return self.cameras[cam_id]
+
+
+def _match_and_verify_pairs(
+    db: Database,
+    pairs,
+    matching_options: SiftMatchingOptions,
+    verification_options: TwoViewGeometryOptions,
+    verbose: bool = False,
+):
+    """The shared inner loop of every pairing strategy."""
+    cache = _FeatureCache(db)
+    num_verified = 0
+    for image_id1, image_id2 in pairs:
+        kp1, d1 = cache.load(image_id1)
+        kp2, d2 = cache.load(image_id2)
+        matches = match_descriptors(d1, d2, matching_options)
+        if len(matches) == 0:
+            db.write_matches(image_id1, image_id2, matches)
+            continue
+        db.write_matches(image_id1, image_id2, matches)
+        cam1 = cache.camera_of(image_id1)
+        cam2 = cache.camera_of(image_id2)
+        g = estimate_calibrated_two_view_geometry(
+            cam1, kp1[:, :2], cam2, kp2[:, :2], matches, verification_options
+        )
+        if matching_options.guided_matching and g.config not in (
+            int(TwoViewGeometryConfiguration.UNDEFINED),
+            int(TwoViewGeometryConfiguration.DEGENERATE),
+        ):
+            guided = match_guided(
+                d1, d2, kp1[:, :2], kp2[:, :2], g, matching_options,
+                max_error=verification_options.ransac.max_error,
+            )
+            if len(guided) > len(g.inlier_matches):
+                g2 = estimate_calibrated_two_view_geometry(
+                    cam1, kp1[:, :2], cam2, kp2[:, :2], guided, verification_options
+                )
+                if len(g2.inlier_matches) > len(g.inlier_matches):
+                    g = g2
+        db.write_two_view_geometry(image_id1, image_id2, g)
+        if len(g.inlier_matches) >= verification_options.min_num_inliers:
+            num_verified += 1
+        if verbose:
+            print(
+                f"pair ({image_id1}, {image_id2}): {len(matches)} matches, "
+                f"{len(g.inlier_matches)} inliers, config {g.config}"
+            )
+    db.commit()
+    return num_verified
+
+
+def match_exhaustive(
+    database_path,
+    sift_options: SiftMatchingOptions = None,
+    matching_options: ExhaustiveMatchingOptions = None,
+    verification_options: TwoViewGeometryOptions = None,
+    device=None,
+    verbose: bool = False,
+):
+    """All N(N-1)/2 pairs in block order (ref: match_features.h:219-227)."""
+    if sift_options is None:
+        sift_options = SiftMatchingOptions()
+    if matching_options is None:
+        matching_options = ExhaustiveMatchingOptions()
+    if verification_options is None:
+        verification_options = TwoViewGeometryOptions()
+    db = Database(database_path)
+    try:
+        image_ids = [img.image_id for img in db.read_all_images()]
+        bs = matching_options.block_size
+        pairs = []
+        # block-partitioned order for cache reuse (ref: block_size semantics)
+        for b1 in range(0, len(image_ids), bs):
+            for b2 in range(b1, len(image_ids), bs):
+                for i in image_ids[b1 : b1 + bs]:
+                    for j in image_ids[b2 : b2 + bs]:
+                        if i < j:
+                            pairs.append((i, j))
+        return _match_and_verify_pairs(
+            db, pairs, sift_options, verification_options, verbose
+        )
+    finally:
+        db.close()
+
+
+def match_sequential(
+    database_path,
+    sift_options: SiftMatchingOptions = None,
+    matching_options: SequentialMatchingOptions = None,
+    verification_options: TwoViewGeometryOptions = None,
+    device=None,
+    verbose: bool = False,
+):
+    """Window + quadratic overlap pairs (ref: match_features.h:110-152, :228).
+
+    Loop detection via the vocab-tree retrieval module when enabled.
+    """
+    if sift_options is None:
+        sift_options = SiftMatchingOptions()
+    if matching_options is None:
+        matching_options = SequentialMatchingOptions()
+    if verification_options is None:
+        verification_options = TwoViewGeometryOptions()
+    db = Database(database_path)
+    try:
+        images = db.read_all_images()
+        # sequential order = sorted by name (upstream orders by name)
+        images = sorted(images, key=lambda im: im.name)
+        ids = [im.image_id for im in images]
+        pairs = set()
+        n = len(ids)
+        for i in range(n):
+            for k in range(1, matching_options.overlap + 1):
+                if i + k < n:
+                    pairs.add((min(ids[i], ids[i + k]), max(ids[i], ids[i + k])))
+                if matching_options.quadratic_overlap:
+                    q = i + (1 << k)
+                    if q < n:
+                        pairs.add((min(ids[i], ids[q]), max(ids[i], ids[q])))
+        num = _match_and_verify_pairs(
+            db, sorted(pairs), sift_options, verification_options, verbose
+        )
+        if matching_options.loop_detection:
+            from pycolmap_tpu.features.retrieval import detect_loops
+
+            loop_pairs = detect_loops(
+                db, ids,
+                period=matching_options.loop_detection_period,
+                num_images=matching_options.loop_detection_num_images,
+            )
+            loop_pairs = [p for p in loop_pairs if p not in pairs]
+            num += _match_and_verify_pairs(
+                db, loop_pairs, sift_options, verification_options, verbose
+            )
+        return num
+    finally:
+        db.close()
+
+
+def match_spatial(
+    database_path,
+    sift_options: SiftMatchingOptions = None,
+    matching_options: SpatialMatchingOptions = None,
+    verification_options: TwoViewGeometryOptions = None,
+    device=None,
+    verbose: bool = False,
+):
+    """Prior-position kNN pairs (ref: match_features.h:154-175, :237)."""
+    if sift_options is None:
+        sift_options = SiftMatchingOptions()
+    if matching_options is None:
+        matching_options = SpatialMatchingOptions()
+    if verification_options is None:
+        verification_options = TwoViewGeometryOptions()
+    db = Database(database_path)
+    try:
+        images = db.read_all_images()
+        pos = {}
+        for im in images:
+            if im.cam_from_world_prior is not None:
+                c = im.cam_from_world_prior.inverse().translation
+                if matching_options.ignore_z:
+                    c = np.array([c[0], c[1], 0.0])
+                pos[im.image_id] = c
+        ids = list(pos.keys())
+        if len(ids) < 2:
+            return 0
+        P = np.stack([pos[i] for i in ids])
+        pairs = set()
+        d2 = np.sum((P[:, None] - P[None, :]) ** 2, axis=-1)
+        np.fill_diagonal(d2, np.inf)
+        max_d2 = matching_options.max_distance**2
+        for a in range(len(ids)):
+            order = np.argsort(d2[a])[: matching_options.max_num_neighbors]
+            for b in order:
+                if d2[a, b] <= max_d2:
+                    pairs.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+        return _match_and_verify_pairs(
+            db, sorted(pairs), sift_options, verification_options, verbose
+        )
+    finally:
+        db.close()
+
+
+def match_vocabtree(
+    database_path,
+    sift_options: SiftMatchingOptions = None,
+    matching_options: VocabTreeMatchingOptions = None,
+    verification_options: TwoViewGeometryOptions = None,
+    device=None,
+    verbose: bool = False,
+):
+    """Visual-retrieval pairs (ref: match_features.h:177-214, :246)."""
+    if sift_options is None:
+        sift_options = SiftMatchingOptions()
+    if matching_options is None:
+        matching_options = VocabTreeMatchingOptions()
+    if verification_options is None:
+        verification_options = TwoViewGeometryOptions()
+    from pycolmap_tpu.features.retrieval import retrieve_pairs
+
+    db = Database(database_path)
+    try:
+        ids = [im.image_id for im in db.read_all_images()]
+        pairs = retrieve_pairs(
+            db, ids,
+            num_images=matching_options.num_images,
+            max_num_features=matching_options.max_num_features,
+        )
+        return _match_and_verify_pairs(
+            db, pairs, sift_options, verification_options, verbose
+        )
+    finally:
+        db.close()
+
+
+def verify_matches(
+    database_path,
+    pairs,
+    options: TwoViewGeometryOptions = None,
+):
+    """Geometric verification of existing matches for given (name1, name2)
+    or (id1, id2) pairs (ref: match_features.h:51-68)."""
+    if options is None:
+        options = TwoViewGeometryOptions()
+    db = Database(database_path)
+    try:
+        cache = _FeatureCache(db)
+        resolved = []
+        for a, b in pairs:
+            if isinstance(a, str):
+                a = db.image_id_from_name(a)
+                b = db.image_id_from_name(b)
+            if a is None or b is None:
+                continue
+            resolved.append((a, b))
+        num = 0
+        for image_id1, image_id2 in resolved:
+            matches = db.read_matches(image_id1, image_id2)
+            kp1, _ = cache.load(image_id1)
+            kp2, _ = cache.load(image_id2)
+            cam1 = cache.camera_of(image_id1)
+            cam2 = cache.camera_of(image_id2)
+            g = estimate_calibrated_two_view_geometry(
+                cam1, kp1[:, :2], cam2, kp2[:, :2], matches, options
+            )
+            db.write_two_view_geometry(image_id1, image_id2, g)
+            if len(g.inlier_matches) >= options.min_num_inliers:
+                num += 1
+        db.commit()
+        return num
+    finally:
+        db.close()

@@ -1,0 +1,87 @@
+"""DatabaseCache: load the SQLite database into scene memory + graph.
+
+Upstream analog: colmap/scene DatabaseCache (loaded at the top of
+IncrementalMapperController, SURVEY.md §3.3 step 1). Filters pairs by
+min_num_matches and finalizes the CSR correspondence graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pycolmap_tpu.scene import (
+    CorrespondenceGraph,
+    Database,
+    pair_id_to_image_pair,
+)
+
+
+class DatabaseCache:
+    def __init__(self):
+        self.cameras = {}
+        self.images = {}
+        self.correspondence_graph = CorrespondenceGraph()
+
+    @staticmethod
+    def load(
+        database_path,
+        min_num_matches: int = 15,
+        ignore_watermarks: bool = False,
+        image_names=None,
+    ) -> "DatabaseCache":
+        from pycolmap_tpu.estimators.two_view_geometry import (
+            TwoViewGeometryConfiguration as C,
+        )
+
+        cache = DatabaseCache()
+        db = Database(database_path)
+        try:
+            for cam in db.read_all_cameras():
+                cache.cameras[cam.camera_id] = cam
+            select = set(image_names) if image_names else None
+            for img in db.read_all_images():
+                if select is not None and img.name not in select:
+                    continue
+                kps = db.read_keypoints(img.image_id)
+                img.set_keypoints(kps[:, :2])
+                cache.images[img.image_id] = img
+                cache.correspondence_graph.add_image(img.image_id, len(kps))
+
+            rows = db._conn.execute(
+                "SELECT pair_id, rows, data, config FROM two_view_geometries"
+            ).fetchall()
+            for pair_id, nrows, data, config in rows:
+                if nrows is None or nrows < min_num_matches:
+                    continue
+                if ignore_watermarks and config == int(C.WATERMARK):
+                    continue
+                if config in (int(C.UNDEFINED), int(C.DEGENERATE)):
+                    continue
+                id1, id2 = pair_id_to_image_pair(pair_id)
+                if id1 not in cache.images or id2 not in cache.images:
+                    continue
+                m = np.frombuffer(data, dtype=np.uint32).reshape(nrows, 2)
+                cache.correspondence_graph.add_correspondences(
+                    id1, id2, m.astype(np.int64)
+                )
+            cache.correspondence_graph.finalize()
+        finally:
+            db.close()
+        return cache
+
+    @property
+    def num_images(self):
+        return len(self.images)
+
+    def setup_reconstruction(self, reconstruction):
+        """Populate a Reconstruction with the cached cameras + images."""
+        for cam_id, cam in self.cameras.items():
+            if cam_id not in reconstruction.cameras:
+                reconstruction.add_camera(cam)
+        for iid, img in self.images.items():
+            if iid not in reconstruction.images:
+                import copy
+
+                img2 = copy.deepcopy(img)
+                img2.registered = False
+                reconstruction.add_image(img2)

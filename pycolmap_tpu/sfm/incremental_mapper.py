@@ -1,0 +1,461 @@
+"""Incremental mapper: initialization, registration, BA scheduling, filtering.
+
+API parity: pycolmap/sfm/incremental_mapper.h (options :14-98) + upstream
+colmap/sfm/incremental_mapper (reached via pipeline/sfm.h:46-93; call stack
+SURVEY.md §3.3). Orchestration is host Python; every numeric step (pair
+ranking, PnP RANSAC, batched triangulation, local/global Schur BA) runs as
+jitted device kernels.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections import defaultdict
+
+import numpy as np
+
+from pycolmap_tpu.estimators.absolute_pose import (
+    AbsolutePoseEstimationOptions,
+    AbsolutePoseRefinementOptions,
+    estimate_absolute_pose,
+)
+from pycolmap_tpu.estimators.essential_matrix import estimate_essential_matrix
+from pycolmap_tpu.estimators.ransac import RANSACOptions
+from pycolmap_tpu.estimators.two_view_geometry import TwoViewGeometryConfiguration
+from pycolmap_tpu.geometry import Rigid3d, Rotation3d
+from pycolmap_tpu.scene.point2d import INVALID_POINT3D_ID
+from pycolmap_tpu.scene.track import Track, TrackElement
+from pycolmap_tpu.sfm.bundle_adjustment import (
+    BundleAdjustmentOptions,
+    LossFunctionType,
+    solve_bundle,
+)
+from pycolmap_tpu.sfm.incremental_triangulator import (
+    IncrementalTriangulator,
+    IncrementalTriangulatorOptions,
+)
+from pycolmap_tpu.sfm.problem import apply_bundle_solution, build_bundle_problem
+from pycolmap_tpu.utils.options import BaseOptions, options_dataclass
+
+
+class ImageSelectionMethod(enum.IntEnum):
+    """ref: sfm/incremental_mapper.h:14-21."""
+
+    MAX_VISIBLE_POINTS_NUM = 0
+    MAX_VISIBLE_POINTS_RATIO = 1
+    MIN_UNCERTAINTY = 2
+
+
+@options_dataclass
+class IncrementalMapperOptions(BaseOptions):
+    """Defaults mirror reference IncrementalMapperOptions (incremental_mapper.h)."""
+
+    init_min_num_inliers: int = 100
+    init_max_error: float = 4.0
+    init_max_forward_motion: float = 0.95
+    init_min_tri_angle: float = 16.0
+    init_max_reg_trials: int = 2
+    abs_pose_max_error: float = 12.0
+    abs_pose_min_num_inliers: int = 30
+    abs_pose_min_inlier_ratio: float = 0.25
+    abs_pose_refine_focal_length: bool = True
+    abs_pose_refine_extra_params: bool = True
+    local_ba_num_images: int = 6
+    local_ba_min_tri_angle: float = 6.0
+    min_tri_angle: float = 1.5
+    max_reg_trials: int = 3
+    fix_existing_images: bool = False
+    num_threads: int = -1
+    filter_max_reproj_error: float = 4.0
+    filter_min_tri_angle: float = 1.5
+    max_extra_param: float = 1.0
+    min_focal_length_ratio: float = 0.1
+    max_focal_length_ratio: float = 10.0
+    image_selection_method: ImageSelectionMethod = (
+        ImageSelectionMethod.MIN_UNCERTAINTY
+    )
+
+
+class VisibilityPyramid:
+    """Multi-level occupancy score (upstream util VisibilityPyramid;
+    exposed via scene/image.h:207-215 visibility score)."""
+
+    LEVELS = 6
+
+    def __init__(self, width, height):
+        self.width = max(width, 1)
+        self.height = max(height, 1)
+
+    def score(self, xys) -> int:
+        if len(xys) == 0:
+            return 0
+        s = 0
+        for level in range(1, self.LEVELS + 1):
+            n = 1 << level
+            cx = np.clip((xys[:, 0] / self.width * n).astype(int), 0, n - 1)
+            cy = np.clip((xys[:, 1] / self.height * n).astype(int), 0, n - 1)
+            occupied = len(set(zip(cx.tolist(), cy.tolist())))
+            s += occupied * (1 << (2 * level))
+        return s
+
+
+class IncrementalMapper:
+    """Grows a reconstruction image-by-image over a correspondence graph."""
+
+    def __init__(self, database_cache):
+        """database_cache: DatabaseCache (scene data + correspondence graph)."""
+        self.cache = database_cache
+        self.reconstruction = None
+        self.triangulator = None
+        self.num_reg_trials = defaultdict(int)
+        self.existing_image_ids = set()
+        self.filtered_images = set()
+        self._init_pair_trials = defaultdict(int)
+
+    # -- lifecycle -----------------------------------------------------------
+    def begin_reconstruction(self, reconstruction, triangulator_options=None):
+        self.reconstruction = reconstruction
+        self.triangulator = IncrementalTriangulator(
+            self.cache.correspondence_graph,
+            reconstruction,
+            triangulator_options or IncrementalTriangulatorOptions(),
+        )
+        self.existing_image_ids = set(reconstruction.reg_image_ids)
+
+    def end_reconstruction(self, discard: bool = False):
+        if discard and self.reconstruction is not None:
+            for iid in list(self.reconstruction.reg_image_ids):
+                if iid not in self.existing_image_ids:
+                    self.reconstruction.deregister_image(iid)
+        self.reconstruction = None
+        self.triangulator = None
+
+    # -- initialization ------------------------------------------------------
+    def find_initial_image_pair(self, options: IncrementalMapperOptions):
+        """Rank image pairs by correspondence count; return the best untried.
+
+        (upstream FindFirstInitialImage / FindSecondInitialImage)."""
+        graph = self.cache.correspondence_graph
+        pairs = sorted(
+            graph.image_pairs().items(), key=lambda kv: -kv[1]
+        )
+        for (id1, id2), ncorr in pairs:
+            if ncorr < options.init_min_num_inliers:
+                break
+            key = (id1, id2)
+            if self._init_pair_trials[key] >= options.init_max_reg_trials:
+                continue
+            if id1 not in self.cache.images or id2 not in self.cache.images:
+                continue
+            self._init_pair_trials[key] += 1
+            return id1, id2
+        return None, None
+
+    def register_initial_image_pair(
+        self, options: IncrementalMapperOptions, image_id1: int, image_id2: int
+    ) -> bool:
+        """Two-view init: E estimation, cheirality, seed triangulation
+        (upstream RegisterInitialImagePair)."""
+        rec = self.reconstruction
+        graph = self.cache.correspondence_graph
+        img1 = rec.images[image_id1]
+        img2 = rec.images[image_id2]
+        cam1 = rec.cameras[img1.camera_id]
+        cam2 = rec.cameras[img2.camera_id]
+
+        # correspondences between the two images
+        matches = []
+        for idx in range(img1.num_points2D):
+            cimgs, cidxs = graph.find_correspondences_arrays(image_id1, idx)
+            for cimg, cidx in zip(cimgs, cidxs):
+                if int(cimg) == image_id2:
+                    matches.append((idx, int(cidx)))
+        if len(matches) < options.init_min_num_inliers:
+            return False
+        matches = np.asarray(matches)
+        x1 = img1.points2D_xy[matches[:, 0]]
+        x2 = img2.points2D_xy[matches[:, 1]]
+
+        ransac = RANSACOptions()
+        ransac.max_error = options.init_max_error
+        res = estimate_essential_matrix(x1, x2, cam1, cam2, ransac)
+        if res is None or res["num_inliers"] < options.init_min_num_inliers:
+            return False
+        rel = res["cam2_from_cam1"]
+
+        img1.cam_from_world = Rigid3d()
+        img2.cam_from_world = rel
+        rec.register_image(image_id1)
+        rec.register_image(image_id2)
+
+        # seed triangulation with angle checks
+        inliers = np.asarray(res["inliers"], dtype=bool)
+        P1 = img1.cam_from_world.matrix()
+        P2 = img2.cam_from_world.matrix()
+        c1 = img1.projection_center()
+        c2 = img2.projection_center()
+        xn1 = cam1.cam_from_img(x1)
+        xn2 = cam2.cam_from_img(x2)
+        min_angle = np.deg2rad(options.init_min_tri_angle)
+        angles = []
+        from pycolmap_tpu.ops import solvers as sv
+        import jax.numpy as jnp
+
+        proj = np.stack([P1, P2]).astype(np.float32)
+        X = np.asarray(
+            sv.triangulate_dlt(
+                jnp.asarray(np.broadcast_to(proj, (len(x1), 2, 3, 4))),
+                jnp.asarray(np.stack([xn1, xn2], axis=1).astype(np.float32)),
+            )
+        )
+        for k in range(len(x1)):
+            if not inliers[k]:
+                continue
+            Xk = X[k].astype(np.float64)
+            z1 = (img1.cam_from_world * Xk)[2]
+            z2 = (img2.cam_from_world * Xk)[2]
+            if z1 <= 0 or z2 <= 0:
+                continue
+            r1 = c1 - Xk
+            r2 = c2 - Xk
+            denom = np.linalg.norm(r1) * np.linalg.norm(r2)
+            if denom < 1e-12:
+                continue
+            ang = np.arccos(np.clip(np.dot(r1, r2) / denom, -1, 1))
+            angles.append(ang)
+            if ang >= np.deg2rad(options.min_tri_angle):
+                track = Track(
+                    [
+                        TrackElement(image_id1, int(matches[k, 0])),
+                        TrackElement(image_id2, int(matches[k, 1])),
+                    ]
+                )
+                # skip if either keypoint already claimed
+                if (
+                    img1.points2D_point3D_ids[matches[k, 0]]
+                    != np.uint64(INVALID_POINT3D_ID)
+                    or img2.points2D_point3D_ids[matches[k, 1]]
+                    != np.uint64(INVALID_POINT3D_ID)
+                ):
+                    continue
+                rec.add_point3D(Xk, track)
+        if not angles or np.median(angles) < min_angle:
+            # degenerate baseline: undo
+            rec.deregister_image(image_id1)
+            rec.deregister_image(image_id2)
+            for pid in list(rec.points3D):
+                rec.delete_point3D(pid)
+            return False
+        return rec.num_points3D >= options.init_min_num_inliers // 2
+
+    # -- next image selection ------------------------------------------------
+    def find_next_images(self, options: IncrementalMapperOptions):
+        """Rank unregistered images by visible-point score (upstream
+        FindNextImages; score per scene/image.h:207-215)."""
+        rec = self.reconstruction
+        graph = self.cache.correspondence_graph
+        scores = []
+        for iid, img in rec.images.items():
+            if img.registered:
+                continue
+            if self.num_reg_trials[iid] >= options.max_reg_trials:
+                continue
+            # visible points: keypoints whose correspondences hit a point3D
+            vis_xy = []
+            for idx in range(img.num_points2D):
+                cimgs, cidxs = graph.find_correspondences_arrays(iid, idx)
+                for cimg, cidx in zip(cimgs, cidxs):
+                    other = rec.images.get(int(cimg))
+                    if other is None or not other.registered:
+                        continue
+                    if other.points2D_point3D_ids[int(cidx)] != np.uint64(
+                        INVALID_POINT3D_ID
+                    ):
+                        vis_xy.append(img.points2D_xy[idx])
+                        break
+            nvis = len(vis_xy)
+            if nvis < options.abs_pose_min_num_inliers:
+                continue
+            if options.image_selection_method == ImageSelectionMethod.MAX_VISIBLE_POINTS_NUM:
+                score = nvis
+            elif options.image_selection_method == ImageSelectionMethod.MAX_VISIBLE_POINTS_RATIO:
+                score = nvis / max(img.num_points2D, 1)
+            else:  # MIN_UNCERTAINTY: pyramid occupancy score
+                cam = rec.cameras[img.camera_id]
+                score = VisibilityPyramid(cam.width, cam.height).score(
+                    np.asarray(vis_xy)
+                )
+            scores.append((score, iid))
+        scores.sort(key=lambda t: -t[0])
+        return [iid for _, iid in scores]
+
+    # -- registration --------------------------------------------------------
+    def register_next_image(
+        self, options: IncrementalMapperOptions, image_id: int
+    ) -> bool:
+        """2D-3D PnP registration (upstream RegisterNextImage)."""
+        rec = self.reconstruction
+        graph = self.cache.correspondence_graph
+        img = rec.images[image_id]
+        cam = rec.cameras[img.camera_id]
+        self.num_reg_trials[image_id] += 1
+
+        # gather 2D-3D correspondences
+        pts2D = []
+        pts3D = []
+        kp_idx = []
+        pids = []
+        for idx in range(img.num_points2D):
+            cimgs, cidxs = graph.find_correspondences_arrays(image_id, idx)
+            found = None
+            for cimg, cidx in zip(cimgs, cidxs):
+                other = rec.images.get(int(cimg))
+                if other is None or not other.registered:
+                    continue
+                pid = int(other.points2D_point3D_ids[int(cidx)])
+                if pid != INVALID_POINT3D_ID:
+                    found = pid
+                    break
+            if found is not None:
+                pts2D.append(img.points2D_xy[idx])
+                pts3D.append(rec.points3D[found].xyz)
+                kp_idx.append(idx)
+                pids.append(found)
+        if len(pts2D) < options.abs_pose_min_num_inliers:
+            return False
+
+        est_opts = AbsolutePoseEstimationOptions()
+        est_opts.ransac.max_error = options.abs_pose_max_error
+        ref_opts = AbsolutePoseRefinementOptions()
+        ref_opts.refine_focal_length = (
+            options.abs_pose_refine_focal_length and not cam.has_prior_focal_length
+        )
+        ref_opts.refine_extra_params = options.abs_pose_refine_extra_params
+        res = estimate_absolute_pose(
+            np.asarray(pts2D), np.asarray(pts3D), cam, est_opts, ref_opts
+        )
+        if res is None:
+            return False
+        if res["num_inliers"] < options.abs_pose_min_num_inliers:
+            return False
+        if res["num_inliers"] / len(pts2D) < options.abs_pose_min_inlier_ratio:
+            return False
+
+        img.cam_from_world = res["cam_from_world"]
+        rec.register_image(image_id)
+        # link inlier observations to existing points
+        inl = np.asarray(res["inliers"], dtype=bool)
+        for k in np.nonzero(inl)[0]:
+            idx = kp_idx[k]
+            pid = pids[k]
+            if img.points2D_point3D_ids[idx] == np.uint64(INVALID_POINT3D_ID):
+                if pid in rec.points3D and not any(
+                    el.image_id == image_id for el in rec.points3D[pid].track.elements
+                ):
+                    rec.add_observation(pid, TrackElement(image_id, idx))
+        return True
+
+    def triangulate_image(self, tri_options, image_id: int) -> int:
+        return self.triangulator.triangulate_image(image_id)
+
+    # -- bundle adjustment ---------------------------------------------------
+    def _local_bundle_images(self, options, image_id):
+        """Most-connected registered images (upstream FindLocalBundle)."""
+        rec = self.reconstruction
+        img = rec.images[image_id]
+        shared = defaultdict(int)
+        for idx in img.get_observation_points2D_idxs():
+            pid = int(img.points2D_point3D_ids[idx])
+            pt = rec.points3D.get(pid)
+            if pt is None:
+                continue
+            for el in pt.track.elements:
+                if el.image_id != image_id:
+                    shared[el.image_id] += 1
+        ranked = sorted(shared.items(), key=lambda kv: -kv[1])
+        local = [image_id] + [
+            iid for iid, _ in ranked[: options.local_ba_num_images - 1]
+        ]
+        return local
+
+    def adjust_local_bundle(
+        self, options, ba_options: BundleAdjustmentOptions, tri_options,
+        image_id, point3D_ids=None,
+    ):
+        """Local BA on the window around image_id (upstream AdjustLocalBundle)."""
+        rec = self.reconstruction
+        local = self._local_bundle_images(options, image_id)
+        # gauge: fix the most-connected older image(s) outside pose freedom
+        constant = []
+        if rec.num_reg_images > len(local):
+            # images outside the window anchor the gauge implicitly; fix the
+            # two oldest in-window images' poses only if the whole model is
+            # the window
+            pass
+        if len(local) >= 2 and rec.num_reg_images <= len(local):
+            constant = [local[-1]]
+        if options.fix_existing_images:
+            constant += [i for i in local if i in self.existing_image_ids]
+        problem, mapping = build_bundle_problem(
+            rec, ba_options, image_ids=local, constant_pose_ids=constant,
+        )
+        if problem.num_obs < 6:
+            return None
+        new_problem, summary = solve_bundle(problem, ba_options)
+        apply_bundle_solution(rec, new_problem, mapping)
+        # filter points touched by the local bundle
+        touched = set()
+        for iid in local:
+            img = rec.images[iid]
+            for idx in img.get_observation_points2D_idxs():
+                touched.add(int(img.points2D_point3D_ids[idx]))
+        rec.filter_points3D(
+            options.filter_max_reproj_error, options.filter_min_tri_angle,
+            point3D_ids=touched,
+        )
+        return summary
+
+    def adjust_global_bundle(self, options, ba_options: BundleAdjustmentOptions):
+        """Global BA (upstream AdjustGlobalBundle): gauge fixed by first pose
+        + second translation-x."""
+        rec = self.reconstruction
+        reg = rec.reg_image_ids
+        if len(reg) < 2:
+            return None
+        constant_pose = [reg[0]]
+        constant_tx = [reg[1]]
+        if options.fix_existing_images:
+            constant_pose += [i for i in reg if i in self.existing_image_ids]
+        problem, mapping = build_bundle_problem(
+            rec, ba_options,
+            constant_pose_ids=constant_pose, constant_tvec_x_ids=constant_tx,
+        )
+        new_problem, summary = solve_bundle(problem, ba_options)
+        apply_bundle_solution(rec, new_problem, mapping)
+        return summary
+
+    # -- filtering -----------------------------------------------------------
+    def filter_points(self, options: IncrementalMapperOptions) -> int:
+        return self.reconstruction.filter_points3D(
+            options.filter_max_reproj_error, options.filter_min_tri_angle
+        )
+
+    def filter_images(self, options: IncrementalMapperOptions) -> int:
+        """Deregister images with bogus cameras or too few points
+        (upstream FilterImages)."""
+        rec = self.reconstruction
+        num = 0
+        for iid in list(rec.reg_image_ids):
+            img = rec.images[iid]
+            cam = rec.cameras[img.camera_id]
+            if iid in self.existing_image_ids:
+                continue
+            if cam.has_bogus_params(
+                options.min_focal_length_ratio,
+                options.max_focal_length_ratio,
+                options.max_extra_param,
+            ) or img.num_points3D == 0:
+                rec.deregister_image(iid)
+                self.filtered_images.add(iid)
+                num += 1
+        return num

@@ -1,0 +1,140 @@
+"""Integration test: incremental mapping end-to-end from a synthetic database
+(the SURVEY.md §4.4 integration tier, with ground-truth comparison via
+compare_reconstructions semantics)."""
+
+import numpy as np
+import pytest
+
+from pycolmap_tpu.estimators import compare_reconstructions
+from pycolmap_tpu.estimators.two_view_geometry import (
+    TwoViewGeometry,
+    TwoViewGeometryConfiguration,
+)
+from pycolmap_tpu.geometry import Rigid3d, Rotation3d
+from pycolmap_tpu.pipeline.sfm import (
+    IncrementalPipelineOptions,
+    incremental_mapping,
+)
+from pycolmap_tpu.scene import Camera, Database, DatabaseTransaction, Image
+
+
+def make_synthetic_database(
+    db_path, num_images=8, num_points=300, pixel_noise=0.4, seed=0
+):
+    """Ground-truth scene written as a COLMAP database: cameras, images,
+    keypoints (+noise), and verified two-view geometries from true matches."""
+    rng = np.random.default_rng(seed)
+    cam = Camera.create(0, "SIMPLE_PINHOLE", 600.0, 640, 480)
+    target = np.array([0.0, 0.0, 5.0])
+    points = rng.uniform(-1.5, 1.5, (num_points, 3)) + target
+
+    poses = []
+    for i in range(num_images):
+        theta = -0.6 + i * (1.2 / max(num_images - 1, 1))
+        center = target + 5.0 * np.array(
+            [np.sin(theta), 0.15 * np.sin(2 * theta), -np.cos(theta)]
+        )
+        fwd = target - center
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R_wc = np.stack([right, up2, fwd], axis=0)
+        poses.append(Rigid3d(Rotation3d(R_wc), -R_wc @ center))
+
+    # per-image keypoints = projections of visible points (+ noise), with a
+    # random permutation so keypoint index != point index
+    kp_xy = []
+    kp_pid = []
+    for i in range(num_images):
+        p_cam = poses[i] * points
+        uv = p_cam[:, :2] / p_cam[:, 2:]
+        xy = cam.img_from_cam(uv)
+        vis = (
+            (p_cam[:, 2] > 0.2)
+            & (xy[:, 0] >= 0) & (xy[:, 0] < cam.width)
+            & (xy[:, 1] >= 0) & (xy[:, 1] < cam.height)
+        )
+        ids = np.nonzero(vis)[0]
+        perm = rng.permutation(len(ids))
+        ids = ids[perm]
+        kp_pid.append(ids)
+        kp_xy.append(xy[ids] + rng.normal(0, pixel_noise, (len(ids), 2)))
+
+    db = Database(db_path)
+    with DatabaseTransaction(db):
+        cam_id = db.write_camera(cam)
+        image_ids = []
+        for i in range(num_images):
+            img = Image(name=f"img{i:03d}.jpg", camera_id=cam_id)
+            image_ids.append(db.write_image(img))
+        for i in range(num_images):
+            db.write_keypoints(image_ids[i], kp_xy[i].astype(np.float32))
+            db.write_descriptors(
+                image_ids[i],
+                rng.integers(0, 255, (len(kp_xy[i]), 128)).astype(np.uint8),
+            )
+        # verified pairs from ground-truth correspondences
+        for i in range(num_images):
+            for j in range(i + 1, num_images):
+                common, ii, jj = np.intersect1d(
+                    kp_pid[i], kp_pid[j], return_indices=True
+                )
+                if len(common) < 30:
+                    continue
+                matches = np.stack([ii, jj], axis=1).astype(np.uint32)
+                g = TwoViewGeometry()
+                g.config = int(TwoViewGeometryConfiguration.CALIBRATED)
+                g.inlier_matches = matches
+                rel = poses[j] * poses[i].inverse()
+                g.E = rel.essential_matrix()
+                g.cam2_from_cam1 = rel
+                db.write_two_view_geometry(image_ids[i], image_ids[j], g)
+    db.close()
+
+    # ground-truth reconstruction for comparison
+    from pycolmap_tpu.scene import Reconstruction, Track, TrackElement
+
+    gt = Reconstruction()
+    gt.add_camera(Camera(cam_id, cam.model, cam.width, cam.height, cam.params))
+    for i in range(num_images):
+        img = Image(
+            name=f"img{i:03d}.jpg", camera_id=cam_id, id=image_ids[i]
+        )
+        img.cam_from_world = poses[i]
+        img.set_keypoints(kp_xy[i])
+        img.registered = True
+        gt.add_image(img)
+    return gt
+
+
+@pytest.mark.slow
+def test_incremental_mapping_synthetic(tmp_path):
+    gt = make_synthetic_database(tmp_path / "db.db", num_images=8, num_points=300)
+    options = IncrementalPipelineOptions()
+    options.min_model_size = 4
+    options.extract_colors = False
+    options.ba_refine_principal_point = False
+    recs = incremental_mapping(
+        tmp_path / "db.db", tmp_path, tmp_path / "sparse", options
+    )
+    assert len(recs) >= 1
+    rec = recs[0]
+    assert rec.num_reg_images >= 7
+    assert rec.num_points3D > 150
+    err = rec.compute_mean_reprojection_error()
+    assert err < 1.0
+    rec.check()
+
+    # pose accuracy vs ground truth (Sim3-aligned)
+    result = compare_reconstructions(rec, gt)
+    assert result is not None
+    rot_errs = [e.rotation_error_deg for e in result["errors"]]
+    assert np.median(rot_errs) < 0.5
+
+    # model written to disk
+    from pycolmap_tpu.scene import Reconstruction
+
+    rec2 = Reconstruction(tmp_path / "sparse" / "0")
+    assert rec2.num_reg_images == rec.num_reg_images

@@ -84,7 +84,8 @@ def dyn_num_trials(num_inliers, num_points, sample_size, confidence, multiplier)
     denom = 1 - ratio**sample_size
     if denom <= 0:
         return 0
-    if nom <= 0:
+    if nom <= 0 or denom >= 1.0:
+        # ratio^m underflowed: effectively zero chance per sample
         return float("inf")
     return math.ceil(math.log(nom) / math.log(denom) * multiplier)
 

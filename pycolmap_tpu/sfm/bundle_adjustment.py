@@ -404,8 +404,21 @@ def _solve_jit(
 
 
 def solve_bundle(problem: BundleProblem, options: BundleAdjustmentOptions,
-                 cg_iters: int = 30):
-    """Run LM to convergence. Returns (new BundleProblem params, BASummary)."""
+                 cg_iters: int = 30, mesh=None):
+    """Run LM to convergence. Returns (new BundleProblem params, BASummary).
+
+    Dispatches to the bucketed component-first kernels (sfm/ba_kernels.py),
+    which are layout-optimized for TPU; :func:`solve_bundle_reference` keeps
+    the straightforward flat-layout implementation for cross-checking.
+    """
+    from pycolmap_tpu.sfm.ba_kernels import solve_bundle_fast
+
+    return solve_bundle_fast(problem, options, cg_iters=cg_iters, mesh=mesh)
+
+
+def solve_bundle_reference(problem: BundleProblem, options: BundleAdjustmentOptions,
+                           cg_iters: int = 30):
+    """Flat-layout LM solver (reference implementation for the fast path)."""
     quat, trans, intr, points, cost0, cost, it = _solve_jit(
         problem.cam_quat, problem.cam_trans, problem.intrinsics, problem.points,
         problem.obs_image_idx, problem.obs_camera_idx, problem.obs_point_idx,

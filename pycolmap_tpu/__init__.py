@@ -98,6 +98,22 @@ from pycolmap_tpu.sfm.incremental_triangulator import (
 )
 from pycolmap_tpu.utils.logging import logging
 
+import enum as _enum
+
+
+class Device(_enum.IntEnum):
+    """Compute device selector (API parity: pycolmap/main.cc:102-106).
+
+    The reference exposes auto/cpu/cuda; the TPU framework maps 'cuda' to
+    the accelerator slot (TPU) so existing pycolmap call sites keep working.
+    """
+
+    auto = -1
+    cpu = 0
+    cuda = 1  # accelerator (TPU here)
+    tpu = 1
+
+
 has_cuda = False  # TPU framework; kept for reference API compatibility
 has_tpu = None  # resolved lazily on first device query
 

@@ -80,7 +80,12 @@ def match_descriptors(
     options: SiftMatchingOptions = None,
 ) -> np.ndarray:
     """Brute-force match. descriptors: [N, 128] float (unit norm) or uint8
-    (COLMAP 512-scaled). Returns matches [M, 2] uint32."""
+    (COLMAP 512-scaled). Returns matches [M, 2] uint32.
+
+    On TPU backends the similarity matrix is never materialized: a Pallas
+    kernel fuses the MXU matmul with a running top-2 reduction
+    (features/pallas_kernels.py); the jnp path is the reference/CPU fallback.
+    """
     if options is None:
         options = SiftMatchingOptions()
     d1 = _to_unit_float(descriptors1)
@@ -89,13 +94,28 @@ def match_descriptors(
         return np.zeros((0, 2), dtype=np.uint32)
     d1p, n1 = _pad_rows(d1, 256)
     d2p, n2 = _pad_rows(d2, 256)
-    idx2 = np.asarray(
-        _match_kernel(
-            jnp.asarray(d1p), jnp.asarray(d2p), n1, n2,
-            jnp.float32(options.max_ratio), jnp.float32(options.max_distance),
-            options.cross_check,
-        )
-    )[:n1]
+
+    from pycolmap_tpu.features import pallas_kernels as pk
+
+    if pk.use_pallas():
+        best, second, idx = pk.match_top2(d1p, d2p, n1, n2)
+        best_dist = np.arccos(np.clip(best, -1.0, 1.0))
+        second_dist = np.arccos(np.clip(second, -1.0, 1.0))
+        ok = (best > -1.5) & (best_dist <= options.max_distance)
+        ok &= best_dist <= options.max_ratio * second_dist
+        if options.cross_check:
+            _, _, rev_idx = pk.match_top2(d2p, d1p, n2, n1)
+            safe_idx = np.clip(idx, 0, n2 - 1)
+            ok &= rev_idx[safe_idx] == np.arange(n1)
+        idx2 = np.where(ok, idx, -1)
+    else:
+        idx2 = np.asarray(
+            _match_kernel(
+                jnp.asarray(d1p), jnp.asarray(d2p), n1, n2,
+                jnp.float32(options.max_ratio), jnp.float32(options.max_distance),
+                options.cross_check,
+            )
+        )[:n1]
     rows = np.nonzero(idx2 >= 0)[0]
     matches = np.stack([rows, idx2[rows]], axis=1).astype(np.uint32)
     if len(matches) > options.max_num_matches:

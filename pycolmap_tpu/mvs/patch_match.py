@@ -9,14 +9,15 @@ chosen for the XLA compilation model:
   one fused tensor op (no per-pixel scan);
 - each candidate plane (current, 4 propagated neighbor planes, perturbed
   depth/normal, random) is scored against ALL pixels and ALL source views at
-  once; bilateral-NCC window statistics are accumulated over static window
-  offsets via jnp.roll (ref-side) + bilinear gathers (source-side);
+  once; bilateral-NCC window statistics are accumulated by a lax.scan over
+  the (precomputed, shifted) window planes, with sources vmapped — the
+  compiled graph is one window-body regardless of window size;
 - per-view costs are aggregated by the mean of the best half of views
   (the batched stand-in for upstream's per-pixel view sampling).
 
 Plane parameterization: depth d along the pixel ray + unit normal n in the
 reference camera frame; the plane-induced warp into source view k is
-  q_s ~ K_s (R_k r_q - t_k (n . r_q) / (d (n . r_p))),  r = K_r^-1 q.
+  q_s ~ K_s (R_k r_q + t_k (n . r_q) / (d (n . r_p))),  r = K_r^-1 q.
 """
 
 from __future__ import annotations
@@ -64,7 +65,7 @@ class PatchMatchOptions(BaseOptions):
 def _window_offsets(radius: int, step: int):
     r = np.arange(-radius, radius + 1, step)
     dy, dx = np.meshgrid(r, r, indexing="ij")
-    return list(zip(dy.ravel().tolist(), dx.ravel().tolist()))
+    return np.stack([dy.ravel(), dx.ravel()], axis=1)  # [nw, 2]
 
 
 def _bilinear(img, ys, xs):
@@ -90,13 +91,10 @@ def _bilinear(img, ys, xs):
 
 def _random_normals(key, shape, rays):
     """Random unit normals facing the camera (n . ray < 0)."""
-    k1, k2 = jax.random.split(key)
-    # sample in the hemisphere around -ray via perturbation
-    v = jax.random.normal(k1, (3,) + shape)
+    v = jax.random.normal(key, (3,) + shape)
     v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v, axis=0)), 1e-9)
     dot = jnp.sum(v * rays, axis=0)
-    v = jnp.where(dot[None] > 0, -v, v)
-    return v
+    return jnp.where(dot[None] > 0, -v, v)
 
 
 @functools.partial(
@@ -121,84 +119,75 @@ def patch_match_kernel(
     offsets = _window_offsets(window_radius, window_step)
     nw = len(offsets)
 
-    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     parity = (
         jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ) % 2
 
-    # bilateral weights + ref window statistics depend only on ref: for each
-    # offset, weight w = exp(-|dI|/sigma_color) * exp(-d2/(2 sg^2))
-    sg = (window_radius / 1.5) ** 2
-    w_list = []
-    refs_list = []
-    for (dy, dx) in offsets:
-        ref_q = jnp.roll(ref, (-dy, -dx), axis=(0, 1))
-        w = jnp.exp(-jnp.abs(ref_q - ref) / sigma_color) * np.exp(
-            -(dy * dy + dx * dx) / (2 * sg)
+    # precompute shifted window planes (loop-invariant): [nw, ...]
+    sg = (max(window_radius, 1) / 1.5) ** 2
+    ref_off = jnp.stack(
+        [jnp.roll(ref, (-dy, -dx), axis=(0, 1)) for dy, dx in offsets]
+    )  # [nw, H, W]
+    rays_off = jnp.stack(
+        [jnp.roll(rays, (-dy, -dx), axis=(1, 2)) for dy, dx in offsets]
+    )  # [nw, 3, H, W]
+    w_spatial = jnp.asarray(
+        np.exp(-(offsets[:, 0] ** 2 + offsets[:, 1] ** 2) / (2 * sg)).astype(
+            np.float32
         )
-        w_list.append(w)
-        refs_list.append(ref_q)
-
-    w_sum = sum(w_list)
-    ref_mean = sum(w * r for w, r in zip(w_list, refs_list)) / w_sum
-    ref_var = (
-        sum(w * r * r for w, r in zip(w_list, refs_list)) / w_sum - ref_mean**2
     )
-    ref_var = jnp.maximum(ref_var, 1e-6)
+    w_off = (
+        jnp.exp(-jnp.abs(ref_off - ref[None]) / sigma_color)
+        * w_spatial[:, None, None]
+    )  # [nw, H, W]
+
+    w_sum = jnp.sum(w_off, axis=0)
+    ref_mean = jnp.sum(w_off * ref_off, axis=0) / w_sum
+    ref_var = jnp.maximum(
+        jnp.sum(w_off * ref_off**2, axis=0) / w_sum - ref_mean**2, 1e-6
+    )
 
     def plane_cost(depth, normal):
-        """Aggregated matching cost [H, W] for plane (depth, normal)."""
-        ndotr = jnp.sum(normal * rays, axis=0)  # [H, W]
+        """Aggregated matching cost [H, W] for the plane (depth, normal)."""
+        ndotr = jnp.sum(normal * rays, axis=0)
         denom = depth * jnp.where(jnp.abs(ndotr) < 1e-6, -1e-6, ndotr)
 
-        cost_views = []
-        for k in range(K):
-            Rk = R_rel[k]
-            tk = t_rel[k]
-            Kk = Ks_all[k]
-            # accumulate weighted stats of warped src + cross term
-            s_sum = jnp.zeros((H, W))
-            s2_sum = jnp.zeros((H, W))
-            rs_sum = jnp.zeros((H, W))
-            wv_sum = jnp.zeros((H, W)) + 1e-9
-            for (dy, dx), w, ref_q in zip(offsets, w_list, refs_list):
-                r_q = jnp.roll(rays, (-dy, -dx), axis=(1, 2))  # [3, H, W]
-                ndotq = jnp.sum(normal * r_q, axis=0)
-                # m = R r_q - t (n.r_q)/(d (n.r_p))
+        def per_view(src, Rk, tk, Kk):
+            def body(carry, inputs):
+                s_sum, s2_sum, rs_sum, wv_sum = carry
+                r_q, ref_q, w = inputs  # [3,H,W], [H,W], [H,W]
+                ndotq = normal[0] * r_q[0] + normal[1] * r_q[1] + normal[2] * r_q[2]
                 scale = ndotq / denom
-                m0 = (
-                    Rk[0, 0] * r_q[0] + Rk[0, 1] * r_q[1] + Rk[0, 2] * r_q[2]
-                    - tk[0] * scale
-                )
-                m1 = (
-                    Rk[1, 0] * r_q[0] + Rk[1, 1] * r_q[1] + Rk[1, 2] * r_q[2]
-                    - tk[1] * scale
-                )
-                m2 = (
-                    Rk[2, 0] * r_q[0] + Rk[2, 1] * r_q[1] + Rk[2, 2] * r_q[2]
-                    - tk[2] * scale
-                )
+                # X_q = r_q * (d n.r_p) / (n.r_q); X_s = R X_q + t; in
+                # projective form: m = R r_q + t (n.r_q) / (d n.r_p)
+                m0 = Rk[0, 0] * r_q[0] + Rk[0, 1] * r_q[1] + Rk[0, 2] * r_q[2] + tk[0] * scale
+                m1 = Rk[1, 0] * r_q[0] + Rk[1, 1] * r_q[1] + Rk[1, 2] * r_q[2] + tk[1] * scale
+                m2 = Rk[2, 0] * r_q[0] + Rk[2, 1] * r_q[1] + Rk[2, 2] * r_q[2] + tk[2] * scale
                 z = jnp.where(jnp.abs(m2) < 1e-9, 1e-9, m2)
                 u = Kk[0, 0] * (m0 / z) + Kk[0, 2]
                 v = Kk[1, 1] * (m1 / z) + Kk[1, 2]
-                s, ok = _bilinear(srcs[k], v - 0.5, u - 0.5)
+                s, ok = _bilinear(src, v - 0.5, u - 0.5)
                 wk = w * ok * (m2 > 0)
-                s_sum = s_sum + wk * s
-                s2_sum = s2_sum + wk * s * s
-                rs_sum = rs_sum + wk * ref_q * s
-                wv_sum = wv_sum + wk
+                return (
+                    s_sum + wk * s,
+                    s2_sum + wk * s * s,
+                    rs_sum + wk * ref_q * s,
+                    wv_sum + wk,
+                ), None
+
+            zero = jnp.zeros((H, W))
+            (s_sum, s2_sum, rs_sum, wv_sum), _ = jax.lax.scan(
+                body, (zero, zero, zero, zero + 1e-9), (rays_off, ref_off, w_off)
+            )
             src_mean = s_sum / wv_sum
             src_var = jnp.maximum(s2_sum / wv_sum - src_mean**2, 1e-6)
             covar = rs_sum / wv_sum - ref_mean * src_mean
             ncc = covar / jnp.sqrt(ref_var * src_var)
             cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)
-            # views with too little valid support get max cost
-            cost = jnp.where(wv_sum > 0.2 * w_sum, cost, 2.0)
-            cost_views.append(cost)
+            return jnp.where(wv_sum > 0.2 * w_sum, cost, 2.0)
 
-        costs = jnp.stack(cost_views)  # [K, H, W]
+        costs = jax.vmap(per_view)(srcs, R_rel, t_rel, Ks_all)  # [K, H, W]
         costs = jnp.sort(costs, axis=0)
         top = max(1, (K + 1) // 2)
         return jnp.mean(costs[:top], axis=0)
@@ -213,36 +202,44 @@ def patch_match_kernel(
         d = num / jnp.where(jnp.abs(den) < 1e-6, -1e-6, den)
         return jnp.clip(d, depth_min, depth_max), n_n
 
+    def try_candidate(state, cand, color):
+        depth, normal, cost = state
+        d_c, n_c = cand
+        c_c = plane_cost(d_c, n_c)
+        better = (c_c < cost) & (parity == color)
+        return (
+            jnp.where(better, d_c, depth),
+            jnp.where(better[None], n_c, normal),
+            jnp.where(better, c_c, cost),
+        )
+
     def step(carry, inputs):
         depth, normal, cost = carry
         key, color = inputs
         keys = jax.random.split(key, 4)
-
-        cands = []
+        state = (depth, normal, cost)
         for (dy, dx) in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            cands.append(neighbor_plane_depth(depth, normal, dy, dx))
-        # perturbed depth
+            state = try_candidate(
+                state, neighbor_plane_depth(state[0], state[1], dy, dx), color
+            )
         pert = jax.random.uniform(keys[0], (H, W), minval=-0.1, maxval=0.1)
-        cands.append((jnp.clip(depth * (1 + pert), depth_min, depth_max), normal))
-        # perturbed normal
+        state = try_candidate(
+            state,
+            (jnp.clip(state[0] * (1 + pert), depth_min, depth_max), state[1]),
+            color,
+        )
         dn = 0.3 * jax.random.normal(keys[1], (3, H, W))
-        n_p = normal + dn
+        n_p = state[1] + dn
         n_p = n_p / jnp.maximum(jnp.sqrt(jnp.sum(n_p * n_p, axis=0)), 1e-9)
         n_p = jnp.where(jnp.sum(n_p * rays, axis=0)[None] > 0, -n_p, n_p)
-        cands.append((depth, n_p))
-        # fully random plane
+        state = try_candidate(state, (state[0], n_p), color)
         d_r = jax.random.uniform(
             keys[2], (H, W), minval=depth_min, maxval=depth_max
         )
-        cands.append((d_r, _random_normals(keys[3], (H, W), rays)))
-
-        for d_c, n_c in cands:
-            c_c = plane_cost(d_c, n_c)
-            better = (c_c < cost) & (parity == color)
-            depth = jnp.where(better, d_c, depth)
-            normal = jnp.where(better[None], n_c, normal)
-            cost = jnp.where(better, c_c, cost)
-        return (depth, normal, cost), None
+        state = try_candidate(
+            state, (d_r, _random_normals(keys[3], (H, W), rays)), color
+        )
+        return state, None
 
     cost0 = plane_cost(depth0, normal0)
     schedule_keys = jax.random.split(key, 2 * num_iterations)

@@ -199,6 +199,23 @@ class CorrespondenceGraph:
         """#keypoints with at least one correspondence."""
         return self._num_obs_per_image.get(image_id, 0)
 
+    def image_correspondences(self, image_id: int):
+        """All correspondences of one image, batched.
+
+        Returns (local_indptr [n+1], corr_images [E], corr_idxs [E]) where
+        keypoint k's correspondences are rows local_indptr[k]:local_indptr[k+1].
+        One slice instead of n per-keypoint queries — the host-side mapper
+        loops (next-image scoring, 2D-3D gathering) consume these as numpy
+        vector ops.
+        """
+        b = self._base[image_id]
+        n = self._num_points2D[image_id]
+        lo = self._indptr[b]
+        hi = self._indptr[b + n]
+        nodes = self._adj[lo:hi]
+        local_indptr = self._indptr[b : b + n + 1] - lo
+        return local_indptr, self._node_image[nodes], self._node_idx[nodes]
+
     # -- device export -------------------------------------------------------
     def csr_arrays(self):
         """(indptr, adj, node_image, node_idx, base dict) for device kernels."""

@@ -106,6 +106,11 @@ def bucketize(problem: BundleProblem):
         if len(sel) == 0:
             continue
         Pb = _pad_pow2(len(sel), 128)
+        n_sel = len(sel)
+        # vectorized fill: flat source index per (t, k) grid slot
+        flat_pos = starts[sel][None, :] + np.arange(T)[:, None]  # [T, n_sel]
+        in_track = flat_pos < ends[sel][None, :]  # over-long tracks truncate
+        flat_safe = np.where(in_track, flat_pos, 0)
         img_idx = np.zeros((T, Pb), dtype=np.int32)
         cam_idx = np.zeros((T, Pb), dtype=np.int32)
         xy = np.zeros((2, T, Pb), dtype=np.float32)
@@ -113,17 +118,14 @@ def bucketize(problem: BundleProblem):
         pts = np.zeros((3, Pb), dtype=np.float32)
         pfree = np.zeros(Pb, dtype=np.float32)
         rows = np.zeros(Pb, dtype=np.int32)
-        for k, p in enumerate(sel):
-            s, e = starts[p], ends[p]
-            t = min(e - s, T)  # over-long tracks truncated at MAX_TRACK
-            img_idx[:t, k] = v_img[s : s + t]
-            cam_idx[:t, k] = v_cam[s : s + t]
-            xy[0, :t, k] = v_xy[s : s + t, 0]
-            xy[1, :t, k] = v_xy[s : s + t, 1]
-            mask[:t, k] = 1.0
-            pts[:, k] = points[p]
-            pfree[k] = point_free[p]
-            rows[k] = p
+        img_idx[:, :n_sel] = np.where(in_track, v_img[flat_safe], 0)
+        cam_idx[:, :n_sel] = np.where(in_track, v_cam[flat_safe], 0)
+        xy[0, :, :n_sel] = np.where(in_track, v_xy[flat_safe, 0], 0.0)
+        xy[1, :, :n_sel] = np.where(in_track, v_xy[flat_safe, 1], 0.0)
+        mask[:, :n_sel] = in_track.astype(np.float32)
+        pts[:, :n_sel] = points[sel].T
+        pfree[:n_sel] = point_free[sel]
+        rows[:n_sel] = sel
         buckets.append(
             Bucket(
                 jnp.asarray(img_idx), jnp.asarray(cam_idx), jnp.asarray(xy),

@@ -248,32 +248,54 @@ class IncrementalMapper:
             return False
         return rec.num_points3D >= options.init_min_num_inliers // 2
 
+    # -- vectorized correspondence lookups -----------------------------------
+    def _linked_pids_for_image(self, image_id):
+        """For every correspondence edge of the image: the linked point3D id
+        (or INVALID). Vectorized over the whole image via the CSR slice.
+
+        Returns (local_indptr [n+1], corr_imgs [E], corr_idxs [E],
+        corr_pid [E] int64 with -1 = none, corr_reg [E] bool).
+        """
+        rec = self.reconstruction
+        graph = self.cache.correspondence_graph
+        indptr, cimgs, cidxs = graph.image_correspondences(image_id)
+        E = len(cimgs)
+        pid = np.full(E, -1, dtype=np.int64)
+        reg = np.zeros(E, dtype=bool)
+        for riid in rec.reg_image_ids:
+            m = cimgs == riid
+            if not m.any():
+                continue
+            reg[m] = True
+            pids = rec.images[riid].points2D_point3D_ids[cidxs[m]]
+            linked = pids != np.uint64(INVALID_POINT3D_ID)
+            vals = np.full(m.sum(), -1, dtype=np.int64)
+            vals[linked] = pids[linked].astype(np.int64)
+            pid[m] = vals
+        return indptr, cimgs, cidxs, pid, reg
+
+    @staticmethod
+    def _segment_any(values, indptr):
+        cs = np.concatenate([[0], np.cumsum(values.astype(np.int64))])
+        return (cs[indptr[1:]] - cs[indptr[:-1]]) > 0
+
     # -- next image selection ------------------------------------------------
     def find_next_images(self, options: IncrementalMapperOptions):
         """Rank unregistered images by visible-point score (upstream
-        FindNextImages; score per scene/image.h:207-215)."""
+        FindNextImages; score per scene/image.h:207-215). Vectorized: one
+        CSR slice + per-registered-image mask pass per candidate."""
         rec = self.reconstruction
-        graph = self.cache.correspondence_graph
         scores = []
         for iid, img in rec.images.items():
             if img.registered:
                 continue
             if self.num_reg_trials[iid] >= options.max_reg_trials:
                 continue
-            # visible points: keypoints whose correspondences hit a point3D
-            vis_xy = []
-            for idx in range(img.num_points2D):
-                cimgs, cidxs = graph.find_correspondences_arrays(iid, idx)
-                for cimg, cidx in zip(cimgs, cidxs):
-                    other = rec.images.get(int(cimg))
-                    if other is None or not other.registered:
-                        continue
-                    if other.points2D_point3D_ids[int(cidx)] != np.uint64(
-                        INVALID_POINT3D_ID
-                    ):
-                        vis_xy.append(img.points2D_xy[idx])
-                        break
-            nvis = len(vis_xy)
+            if img.num_points2D == 0:
+                continue
+            indptr, _, _, pid, _ = self._linked_pids_for_image(iid)
+            per_kp_vis = self._segment_any(pid >= 0, indptr)
+            nvis = int(per_kp_vis.sum())
             if nvis < options.abs_pose_min_num_inliers:
                 continue
             if options.image_selection_method == ImageSelectionMethod.MAX_VISIBLE_POINTS_NUM:
@@ -283,7 +305,7 @@ class IncrementalMapper:
             else:  # MIN_UNCERTAINTY: pyramid occupancy score
                 cam = rec.cameras[img.camera_id]
                 score = VisibilityPyramid(cam.width, cam.height).score(
-                    np.asarray(vis_xy)
+                    img.points2D_xy[per_kp_vis]
                 )
             scores.append((score, iid))
         scores.sort(key=lambda t: -t[0])
@@ -300,27 +322,26 @@ class IncrementalMapper:
         cam = rec.cameras[img.camera_id]
         self.num_reg_trials[image_id] += 1
 
-        # gather 2D-3D correspondences
-        pts2D = []
-        pts3D = []
-        kp_idx = []
-        pids = []
-        for idx in range(img.num_points2D):
-            cimgs, cidxs = graph.find_correspondences_arrays(image_id, idx)
-            found = None
-            for cimg, cidx in zip(cimgs, cidxs):
-                other = rec.images.get(int(cimg))
-                if other is None or not other.registered:
-                    continue
-                pid = int(other.points2D_point3D_ids[int(cidx)])
-                if pid != INVALID_POINT3D_ID:
-                    found = pid
-                    break
-            if found is not None:
-                pts2D.append(img.points2D_xy[idx])
-                pts3D.append(rec.points3D[found].xyz)
-                kp_idx.append(idx)
-                pids.append(found)
+        # gather 2D-3D correspondences (vectorized over the CSR slice)
+        indptr, _, _, pid_edges, _ = self._linked_pids_for_image(image_id)
+        if len(pid_edges):
+            # first linked pid per keypoint: min edge index among linked ones
+            edge_pos = np.where(pid_edges >= 0, np.arange(len(pid_edges)), 1 << 62)
+            edge_pos = np.concatenate([edge_pos, [1 << 62]])  # reduceat guard
+            safe_starts = np.minimum(indptr[:-1], len(pid_edges))
+            first = np.minimum.reduceat(edge_pos, safe_starts)
+            has = self._segment_any(pid_edges >= 0, indptr)
+        else:
+            has = np.zeros(img.num_points2D, dtype=bool)
+            first = np.zeros(img.num_points2D, dtype=np.int64)
+        kp_idx = np.nonzero(has)[0]
+        pids = [int(pid_edges[first[k]]) for k in kp_idx]
+        # a point may have been deleted since the link array was built
+        keep = [i for i, p in enumerate(pids) if p in rec.points3D]
+        kp_idx = [int(kp_idx[i]) for i in keep]
+        pids = [pids[i] for i in keep]
+        pts2D = [img.points2D_xy[k] for k in kp_idx]
+        pts3D = [rec.points3D[p].xyz for p in pids]
         if len(pts2D) < options.abs_pose_min_num_inliers:
             return False
 

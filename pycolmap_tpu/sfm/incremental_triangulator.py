@@ -141,36 +141,48 @@ class IncrementalTriangulator:
         opts = self.options
         num_tris = 0
 
-        # pass 1 (host): classify keypoints -> continuations vs creations
-        continue_obs = []  # (point2D_idx, point3D_id)
+        # pass 1: classify keypoints -> continuations vs creations.
+        # Vectorized: one CSR slice for the whole image + one mask pass per
+        # registered image, then a cheap loop over only the active keypoints.
+        continue_obs = []  # (point2D_idx, first_pid, all_pids)
         create_cands = []  # (point2D_idx, [(image_id2, point2D_idx2), ...])
         p3d_ids = img.points2D_point3D_ids
-        for idx in range(img.num_points2D):
-            if p3d_ids[idx] != np.uint64(INVALID_POINT3D_ID):
-                continue
-            corr_imgs, corr_idxs = self.graph.find_correspondences_arrays(
-                image_id, idx
-            )
-            if len(corr_imgs) == 0:
-                continue
-            reg_views = []
-            linked_pids = set()
-            for cimg, cidx in zip(corr_imgs, corr_idxs):
-                cimg = int(cimg)
-                cidx = int(cidx)
-                other = rec.images.get(cimg)
-                if other is None or not other.registered:
+        indptr, cimgs, cidxs = self.graph.image_correspondences(image_id)
+        E = len(cimgs)
+        if E:
+            pid_edges = np.full(E, -1, dtype=np.int64)
+            reg_edges = np.zeros(E, dtype=bool)
+            for riid in rec.reg_image_ids:
+                m = cimgs == riid
+                if not m.any():
                     continue
-                pid = int(other.points2D_point3D_ids[cidx])
-                if pid != INVALID_POINT3D_ID:
-                    linked_pids.add(pid)
+                reg_edges[m] = True
+                pids_r = rec.images[riid].points2D_point3D_ids[cidxs[m]]
+                linked = pids_r != np.uint64(INVALID_POINT3D_ID)
+                vals = np.full(m.sum(), -1, dtype=np.int64)
+                vals[linked] = pids_r[linked].astype(np.int64)
+                pid_edges[m] = vals
+            cs_link = np.concatenate([[0], np.cumsum(pid_edges >= 0)])
+            cs_reg = np.concatenate([[0], np.cumsum(reg_edges)])
+            for idx in range(img.num_points2D):
+                if p3d_ids[idx] != np.uint64(INVALID_POINT3D_ID):
+                    continue
+                lo, hi = indptr[idx], indptr[idx + 1]
+                if lo == hi or cs_reg[hi] == cs_reg[lo]:
+                    continue
+                if cs_link[hi] > cs_link[lo]:
+                    seg = pid_edges[lo:hi]
+                    pids_here = sorted(set(int(p) for p in seg[seg >= 0]))
+                    continue_obs.append((idx, pids_here[0], pids_here))
                 else:
-                    reg_views.append((cimg, cidx))
-            if linked_pids:
-                # continue the (first) existing track
-                continue_obs.append((idx, sorted(linked_pids)[0], sorted(linked_pids)))
-            elif reg_views:
-                create_cands.append((idx, reg_views))
+                    seg_m = reg_edges[lo:hi]
+                    reg_views = list(
+                        zip(
+                            cimgs[lo:hi][seg_m].tolist(),
+                            cidxs[lo:hi][seg_m].tolist(),
+                        )
+                    )
+                    create_cands.append((idx, reg_views))
 
         # pass 2: continuations — check angular error, then add observation
         for idx, pid, all_pids in continue_obs:
@@ -383,6 +395,13 @@ class IncrementalTriangulator:
             if pid != np.uint64(INVALID_POINT3D_ID)
         }
         return self.complete_tracks(pids)
+
+    # reference binding names (incremental_triangulator.h:81-90)
+    def complete_all_tracks(self, point3D_ids=None) -> int:
+        return self.complete_tracks(point3D_ids)
+
+    def merge_all_tracks(self, point3D_ids=None) -> int:
+        return self.merge_tracks(point3D_ids)
 
     def retriangulate(self) -> int:
         """Re-triangulate under-reconstructed images (upstream Retriangulate,

@@ -1,0 +1,118 @@
+"""MVS integration: PatchMatch depth accuracy on ground-truth planes,
+fusion, and meshing (+ depth-map I/O round trip)."""
+
+import numpy as np
+import pytest
+
+from pycolmap_tpu.geometry import Rigid3d
+from pycolmap_tpu.mvs.depth_map_io import (
+    depth_map_path,
+    read_mat,
+    write_mat,
+)
+from pycolmap_tpu.mvs.meshing import (
+    PoissonMeshingOptions,
+    poisson_meshing,
+    sparse_delaunay_meshing,
+)
+from pycolmap_tpu.mvs.patch_match import PatchMatchOptions
+from pycolmap_tpu.pipeline.mvs import patch_match_stereo, stereo_fusion
+from pycolmap_tpu.scene import Camera, Image as SImage, Reconstruction, Track, TrackElement
+
+from test_full_pipeline import render_scene
+
+
+def test_mat_io_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(20, 30)).astype(np.float32)
+    write_mat(tmp_path / "m.bin", a)
+    assert np.array_equal(read_mat(tmp_path / "m.bin"), a)
+    b = rng.normal(size=(20, 30, 3)).astype(np.float32)
+    write_mat(tmp_path / "m3.bin", b)
+    assert np.array_equal(read_mat(tmp_path / "m3.bin"), b)
+
+
+def build_workspace(tmp_path, num_images=4, W=192, H=144):
+    ws = tmp_path / "ws"
+    (ws / "sparse").mkdir(parents=True)
+    poses, cam = render_scene(ws / "images", num_images=num_images, W=W, H=H)
+    rec = Reconstruction()
+    cam.camera_id = 0
+    rec.add_camera(cam)
+    rng = np.random.default_rng(0)
+    pts = []
+    for z0, xlo, xhi in ((6.0, -3, 0.15), (7.5, 0.15, 3)):
+        for _ in range(50):
+            pts.append([rng.uniform(xlo, xhi), rng.uniform(-2, 2), z0])
+    pts = np.array(pts)
+    for i, pose in enumerate(poses):
+        img = SImage(name=f"view{i:02d}.png", camera_id=0, id=i + 1)
+        img.cam_from_world = pose
+        p_cam = pose * pts
+        uv = p_cam[:, :2] / p_cam[:, 2:]
+        img.set_keypoints(cam.img_from_cam(uv))
+        img.registered = True
+        rec.add_image(img)
+    for j in range(len(pts)):
+        rec.add_point3D(
+            pts[j], Track([TrackElement(i + 1, j) for i in range(len(poses))])
+        )
+    rec.write_binary(ws / "sparse")
+    return ws, poses, cam
+
+
+@pytest.mark.slow
+def test_patch_match_fusion_meshing(tmp_path):
+    ws, poses, cam = build_workspace(tmp_path)
+    opts = PatchMatchOptions()
+    opts.num_iterations = 4
+    opts.window_radius = 3
+    opts.window_step = 1
+    patch_match_stereo(ws, options=opts)
+
+    # depth accuracy vs the known plane geometry (center view)
+    name = "view01.png"
+    d = read_mat(depth_map_path(ws, name, "geometric"))
+    pose = [
+        im.cam_from_world
+        for im in Reconstruction(ws / "sparse").images.values()
+        if im.name == name
+    ][0]
+    inv = pose.inverse()
+    R_cw = inv.rotation.matrix()
+    c = inv.translation
+    H, W = d.shape
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    K = cam.calibration_matrix()
+    K = K.copy()
+    K[0] *= W / cam.width
+    K[1] *= H / cam.height
+    dirs = (
+        np.stack(
+            [(xx + 0.5 - K[0, 2]) / K[0, 0], (yy + 0.5 - K[1, 2]) / K[1, 1],
+             np.ones_like(xx)], -1,
+        )
+        @ R_cw.T
+    )
+    gt = np.full((H, W), np.nan)
+    for z0, is_left in ((6.0, True), (7.5, False)):
+        t = (z0 - c[2]) / dirs[..., 2]
+        px = c[0] + t * dirs[..., 0]
+        sel = ((px < 0.15) if is_left else (px >= 0.15)) & (t > 0)
+        gt[sel] = t[sel]
+    valid = (d > 0) & np.isfinite(gt)
+    assert valid.mean() > 0.2  # geometric filter keeps a good fraction
+    rel_err = np.abs(d[valid] - gt[valid]) / gt[valid]
+    assert np.median(rel_err) < 0.01
+
+    # fusion
+    xyz, rgb = stereo_fusion(ws / "fused.ply", ws)
+    assert len(xyz) > 1000
+    z_err = np.minimum(np.abs(xyz[:, 2] - 6.0), np.abs(xyz[:, 2] - 7.5))
+    assert np.median(z_err) < 0.02
+
+    # meshing
+    mo = PoissonMeshingOptions()
+    mo.depth = 6
+    assert poisson_meshing(ws / "fused.ply", ws / "mesh.ply", mo)
+    assert sparse_delaunay_meshing(ws / "sparse", ws / "sparse_mesh.ply")

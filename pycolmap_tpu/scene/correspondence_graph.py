@@ -168,11 +168,33 @@ class CorrespondenceGraph:
         nodes = self._adj[self._indptr[n] : self._indptr[n + 1]]
         return self._node_image[nodes], self._node_idx[nodes]
 
+    def _get_traversal(self):
+        """Lazily build the native (C++) traversal over the CSR arrays."""
+        if not hasattr(self, "_traversal") or self._traversal is None:
+            from pycolmap_tpu.native import GraphTraversal, get_lib
+
+            if get_lib() is not None:
+                self._traversal = GraphTraversal(self._indptr, self._adj)
+            else:
+                self._traversal = False  # toolchain unavailable
+        return self._traversal or None
+
     def find_transitive_correspondences(
         self, image_id: int, point2D_idx: int, transitivity: int
     ):
-        """BFS up to `transitivity` hops (ref: correspondence_graph.h:76-77)."""
+        """BFS up to `transitivity` hops (ref: correspondence_graph.h:76-77).
+
+        Uses the native C++ traversal (pycolmap_tpu/native) when available;
+        the Python loop below is the fallback and reference behavior.
+        """
         start = self._node(image_id, point2D_idx)
+        trav = self._get_traversal()
+        if trav is not None:
+            nodes = trav.bfs_transitive(start, transitivity)
+            return [
+                Correspondence(self._node_image[k], self._node_idx[k])
+                for k in nodes
+            ]
         seen = {start}
         frontier = [start]
         out = []

@@ -387,12 +387,13 @@ def _descriptors(mag, ang, x, y, level_idx, scale_rel, theta, normalization):
     static_argnames=(
         "height", "width", "num_octaves", "S", "first_octave",
         "per_octave_kps", "max_num_orientations", "normalization", "upright",
-        "peak_threshold", "edge_threshold",
+        "peak_threshold", "edge_threshold", "dsp_scales",
     ),
 )
 def _extract_jit(
     image, height, width, num_octaves, S, first_octave, per_octave_kps,
     max_num_orientations, normalization, upright, peak_threshold, edge_threshold,
+    dsp_scales=(),
 ):
     """Full SIFT for one image. Returns padded keypoints/descs + mask."""
     img = image.astype(jnp.float32)
@@ -431,7 +432,25 @@ def _extract_jit(
         se = jnp.repeat(scale_rel[:, None], O, 1).reshape(-1)
         th = theta.reshape(-1)
         me = ori_mask.reshape(-1)
-        desc = _descriptors(mag, ang, xe, ye, le, se, th, normalization)
+        if dsp_scales:
+            # domain-size pooling (ref: extract_features.h dsp_* options):
+            # average descriptors over scaled supports, then renormalize
+            acc = None
+            for f in dsp_scales:
+                d = _descriptors(mag, ang, xe, ye, le, se * f, th, normalization)
+                acc = d if acc is None else acc + d
+            desc = acc / len(dsp_scales)
+            desc = desc / jnp.maximum(
+                jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12
+            )
+            if normalization == int(Normalization.L1_ROOT):
+                desc = desc * desc  # undo sqrt before re-normalizing in L1
+                desc = desc / jnp.maximum(
+                    jnp.sum(desc, axis=1, keepdims=True), 1e-12
+                )
+                desc = jnp.sqrt(desc)
+        else:
+            desc = _descriptors(mag, ang, xe, ye, le, se, th, normalization)
         # map to input-image coordinates
         kp_x = xe * octave_scale
         kp_y = ye * octave_scale
@@ -478,12 +497,23 @@ class Sift:
             opts.num_octaves, max(1, int(math.log2(max_dim)) - 3)
         )
         per_octave = max(256, opts.max_num_features // max(num_octaves, 1))
+        if opts.domain_size_pooling:
+            dsp_scales = tuple(
+                float(x)
+                for x in np.linspace(
+                    opts.dsp_min_scale, opts.dsp_max_scale,
+                    max(2, min(opts.dsp_num_scales, 10)),
+                )
+            )
+        else:
+            dsp_scales = ()
         kp_x, kp_y, kp_s, kp_t, descs, mask = _extract_jit(
             jnp.asarray(img),
             h, w, num_octaves, opts.octave_resolution, opts.first_octave,
             per_octave, opts.max_num_orientations,
             int(opts.normalization), opts.upright,
             float(opts.peak_threshold), float(opts.edge_threshold),
+            dsp_scales,
         )
         mask = np.asarray(mask)
         kps = np.stack(

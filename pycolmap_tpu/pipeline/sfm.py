@@ -333,11 +333,15 @@ def incremental_mapping(
 
     initial_models = len(manager)
     max_models = options.max_num_models if options.multiple_models else 1
-    while len(manager) < max_models or (initial_models and len(manager) == initial_models):
-        if len(manager) > initial_models or initial_models == 0:
+    processed_initial = False
+    while True:
+        if initial_models and not processed_initial:
+            idx = 0  # resume the model read from input_path exactly once
+            processed_initial = True
+        elif len(manager) < max_models + initial_models:
             idx = manager.add()
         else:
-            idx = 0
+            break
         rec = manager.get(idx)
         cache.setup_reconstruction(rec)
         mapper.begin_reconstruction(rec, options.triangulation)

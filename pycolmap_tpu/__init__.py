@@ -8,6 +8,33 @@ types, stateless estimators, and pipeline stages.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persist XLA executables across processes.
+
+    Pipeline stages run as separate invocations (extract -> match -> map,
+    like the reference CLI); without a disk cache every run re-pays each
+    kernel's compile (~0.5 s each through remote-compile backends).
+    """
+    cache_dir = _os.environ.get(
+        "PYCOLMAP_TPU_CACHE_DIR",
+        _os.path.expanduser("~/.cache/pycolmap_tpu_jax"),
+    )
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 from pycolmap_tpu.geometry import Rigid3d, Rotation3d, Sim3d
 from pycolmap_tpu.scene import (
     Camera,

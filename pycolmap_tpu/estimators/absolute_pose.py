@@ -132,14 +132,26 @@ def _refine_pose_lm(quat0, trans0, x, X, w, loss_scale):
 
 
 def refine_pose_normalized(quat, trans, x_norm, X, inlier_mask, loss_scale=1.0):
-    """LM-refine cam_from_world on normalized 2D points. Returns (quat, trans)."""
-    w = jnp.asarray(inlier_mask, dtype=jnp.float32)
+    """LM-refine cam_from_world on normalized 2D points. Returns (quat, trans).
+
+    Inputs are padded to power-of-two row counts (weight 0) so the jitted LM
+    compiles once per bucket rather than once per match count.
+    """
+    n = len(x_norm)
+    n_pad = max(64, 1 << (n - 1).bit_length())
+    xp = np.zeros((n_pad, 2), dtype=np.float32)
+    Xp = np.zeros((n_pad, 3), dtype=np.float32)
+    Xp[:, 2] = 1.0  # benign padding geometry (in front of any camera)
+    wp = np.zeros(n_pad, dtype=np.float32)
+    xp[:n] = x_norm
+    Xp[:n] = X
+    wp[:n] = np.asarray(inlier_mask, dtype=np.float32)
     q, t = _refine_pose_lm(
         jnp.asarray(quat, jnp.float32),
         jnp.asarray(trans, jnp.float32),
-        jnp.asarray(x_norm, jnp.float32),
-        jnp.asarray(X, jnp.float32),
-        w,
+        jnp.asarray(xp),
+        jnp.asarray(Xp),
+        jnp.asarray(wp),
         jnp.float32(loss_scale),
     )
     return np.asarray(q, dtype=np.float64), np.asarray(t, dtype=np.float64)

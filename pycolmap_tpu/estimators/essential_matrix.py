@@ -12,6 +12,7 @@ recovered through the much larger hypothesis batches the TPU affords.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,29 @@ _engine = BatchedLORANSAC(
     sample_size=8,
     refit_solver=_refit_8pt,
 )
+
+_pose_from_essential_jit = jax.jit(epipolar.pose_from_essential)
+
+
+def _pose_from_essential_padded(E, x1, x2, inlier_mask):
+    """One jitted dispatch with pow2-padded shapes (bounded compile count).
+
+    The eager-op version costs dozens of device round-trips per call, which
+    dominated initial-pair search wall time on remote backends.
+    """
+    n = len(x1)
+    n_pad = max(64, 1 << (n - 1).bit_length())
+    x1p = np.zeros((n_pad, 2), dtype=np.float32)
+    x2p = np.zeros((n_pad, 2), dtype=np.float32)
+    maskp = np.zeros(n_pad, dtype=bool)
+    x1p[:n] = x1
+    x2p[:n] = x2
+    maskp[:n] = inlier_mask
+    quat, trans, X, front = _pose_from_essential_jit(
+        jnp.asarray(E, dtype=jnp.float32), jnp.asarray(x1p), jnp.asarray(x2p),
+        jnp.asarray(maskp),
+    )
+    return quat, trans, np.asarray(X)[:n], np.asarray(front)[:n]
 
 
 def estimate_essential_matrix(
@@ -64,11 +88,8 @@ def estimate_essential_matrix(
     if not report.success:
         return None
     E = np.asarray(report.model, dtype=np.float64)
-    quat, trans, points3D, front = epipolar.pose_from_essential(
-        jnp.asarray(E, dtype=jnp.float32),
-        jnp.asarray(x1),
-        jnp.asarray(x2),
-        jnp.asarray(report.inlier_mask),
+    quat, trans, points3D, front = _pose_from_essential_padded(
+        E, x1, x2, report.inlier_mask
     )
     quat = np.asarray(quat, dtype=np.float64)
     cam2_from_cam1 = Rigid3d(

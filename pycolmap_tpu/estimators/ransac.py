@@ -67,9 +67,15 @@ class RANSACReport:
         return self.support_num_inliers / len(self.inlier_mask)
 
 
-def _sample_indices(key, num_points, sample_size, num_samples):
-    """[K, m] distinct indices per row via argsort of uniform keys."""
+def _sample_indices(key, num_points, sample_size, num_samples, valid_mask):
+    """[K, m] distinct indices per row via argsort of uniform keys.
+
+    valid_mask [N]: padded rows get +inf keys so they are never sampled
+    (shape bucketing keeps the jitted chunk's shapes from recompiling for
+    every distinct correspondence count).
+    """
     u = jax.random.uniform(key, (num_samples, num_points))
+    u = u + (1.0 - valid_mask)[None, :] * 1e6
     # top-m smallest keys = uniform sample without replacement
     _, idx = jax.lax.top_k(-u, sample_size)
     return idx
@@ -134,11 +140,12 @@ class BatchedLORANSAC:
         capped = jnp.sum(jnp.minimum(residuals, max_error_sq), axis=-1)
         return num_inliers, capped
 
-    def _run_chunk(self, key, max_error_sq, *data):
+    def _run_chunk(self, key, max_error_sq, valid_mask, *data):
         n = data[0].shape[0]
-        idx = _sample_indices(key, n, self.sample_size, self.chunk_size)
+        idx = _sample_indices(key, n, self.sample_size, self.chunk_size, valid_mask)
         models, valid = self.minimal_solver(idx, *data)
         residuals = self.residual_fn(models, *data)  # [K, S, N]
+        residuals = jnp.where(valid_mask[None, None, :] > 0, residuals, jnp.inf)
         num_inliers, capped = self._score(residuals, max_error_sq)
         num_inliers = jnp.where(valid, num_inliers, 0)
         capped = jnp.where(valid, capped, jnp.inf)
@@ -160,9 +167,10 @@ class BatchedLORANSAC:
         best_residuals = residuals.reshape((-1, n))[best_flat]
         return best_model, best_inliers, best_capped, best_residuals
 
-    def _run_refit(self, weights, max_error_sq, *data):
+    def _run_refit(self, weights, max_error_sq, valid_mask, *data):
         models, valid = self.refit_solver(weights, *data)
         residuals = self.residual_fn(models, *data)
+        residuals = jnp.where(valid_mask[None, None, :] > 0, residuals, jnp.inf)
         num_inliers, capped = self._score(residuals, max_error_sq)
         num_inliers = jnp.where(valid, num_inliers, 0)
         capped = jnp.where(valid, capped, jnp.inf)
@@ -186,12 +194,37 @@ class BatchedLORANSAC:
         )
 
     # -- host orchestration --------------------------------------------------
+    @staticmethod
+    def _pad_pow2(n, lo=64):
+        n = max(n, lo)
+        return 1 << (n - 1).bit_length()
+
     def estimate(self, options: RANSACOptions, *data, seed: int = 0) -> RANSACReport:
-        """Run chunks until the confidence criterion is met, then LO-refit."""
+        """Run chunks until the confidence criterion is met, then LO-refit.
+
+        Data rows are padded to power-of-two sizes with a validity mask so
+        the jitted chunk compiles once per bucket instead of once per
+        distinct correspondence count (compiles cost ~0.5 s each through
+        the remote-compile path — they dominated matching/mapping wall time
+        before bucketing).
+        """
         n = int(np.asarray(data[0]).shape[0])
         if n < self.sample_size:
             return RANSACReport(success=False)
-        data = tuple(jnp.asarray(d) for d in data)
+        n_pad = self._pad_pow2(n)
+        valid_np = np.zeros(n_pad, dtype=np.float32)
+        valid_np[:n] = 1.0
+
+        def pad_rows(a):
+            a = np.asarray(a)
+            if n_pad == n:
+                return a
+            return np.concatenate(
+                [a, np.zeros((n_pad - n,) + a.shape[1:], dtype=a.dtype)]
+            )
+
+        data = tuple(jnp.asarray(pad_rows(d)) for d in data)
+        valid_mask = jnp.asarray(valid_np)
         max_error_sq = jnp.float32(options.max_error**2)
 
         key = jax.random.PRNGKey(seed)
@@ -211,7 +244,7 @@ class BatchedLORANSAC:
         while trials < max_trials:
             key, sub = jax.random.split(key)
             model, num_inl, capped, residuals = self._chunk_jit(
-                sub, max_error_sq, *data
+                sub, max_error_sq, valid_mask, *data
             )
             num_inl = int(num_inl)
             capped_f = float(capped)
@@ -232,11 +265,14 @@ class BatchedLORANSAC:
         # -- local optimization: iterative weighted refit on inliers --------
         if self._refit_jit is not None:
             for _ in range(self.num_lo_iterations):
-                weights = (residuals <= max_error_sq).astype(jnp.float32)
-                if int(jnp.sum(weights)) < self.sample_size:
+                weights = jnp.asarray(
+                    (np.asarray(residuals) <= float(max_error_sq)) & (valid_np > 0),
+                    dtype=jnp.float32,
+                )
+                if int(np.asarray(weights).sum()) < self.sample_size:
                     break
                 r_model, r_inl, r_capped, r_residuals = self._refit_jit(
-                    weights, max_error_sq, *data
+                    weights, max_error_sq, valid_mask, *data
                 )
                 if (int(r_inl), -float(r_capped)) > (num_inl, -capped_f):
                     num_inl, capped_f = int(r_inl), float(r_capped)
@@ -244,7 +280,7 @@ class BatchedLORANSAC:
                 else:
                     break
 
-        inlier_mask = np.asarray(residuals <= max_error_sq)
+        inlier_mask = (np.asarray(residuals) <= float(max_error_sq))[:n]
         return RANSACReport(
             success=True,
             model=jax.tree_util.tree_map(np.asarray, model),

@@ -196,17 +196,33 @@ class Camera:
         out[: len(self.params)] = self.params
         return out
 
+    # Below this batch size a host-side numpy evaluation beats the device
+    # round-trip (which costs ~10ms+ per call through the TPU tunnel); the
+    # numpy twins are cross-checked against the JAX kernels in tests.
+    _NP_FASTPATH_MAX = 4096
+
     def img_from_cam(self, cam_points: np.ndarray) -> np.ndarray:
         """Normalized camera-plane points [N,2] (or [N,3] hom.) -> pixels [N,2]."""
         pts = np.asarray(cam_points, dtype=np.float64)
         if pts.ndim >= 1 and pts.shape[-1] == 3:
             pts = pts[..., :2] / pts[..., 2:3]
+        n = 1 if pts.ndim == 1 else pts.shape[0]
+        if n <= self._NP_FASTPATH_MAX:
+            from pycolmap_tpu.ops.camera_models_np import img_from_cam_np
+
+            return img_from_cam_np(self.model_id, self._padded_params(), pts)
         return _padded_apply(
             _jit_img_from_cam(self.model_id), self._padded_params(), pts
         )
 
     def cam_from_img(self, image_points: np.ndarray) -> np.ndarray:
         """Pixels [N,2] -> normalized camera-plane points [N,2]."""
+        pts = np.asarray(image_points, dtype=np.float64)
+        n = 1 if pts.ndim == 1 else pts.shape[0]
+        if n <= self._NP_FASTPATH_MAX:
+            from pycolmap_tpu.ops.camera_models_np import cam_from_img_np
+
+            return cam_from_img_np(self.model_id, self._padded_params(), pts)
         return _padded_apply(
             _jit_cam_from_img(self.model_id), self._padded_params(), image_points
         )

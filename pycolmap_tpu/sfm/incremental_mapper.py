@@ -163,16 +163,15 @@ class IncrementalMapper:
         cam1 = rec.cameras[img1.camera_id]
         cam2 = rec.cameras[img2.camera_id]
 
-        # correspondences between the two images
-        matches = []
-        for idx in range(img1.num_points2D):
-            cimgs, cidxs = graph.find_correspondences_arrays(image_id1, idx)
-            for cimg, cidx in zip(cimgs, cidxs):
-                if int(cimg) == image_id2:
-                    matches.append((idx, int(cidx)))
-        if len(matches) < options.init_min_num_inliers:
+        # correspondences between the two images (one CSR slice, vectorized)
+        indptr, cimgs, cidxs = graph.image_correspondences(image_id1)
+        sel = cimgs == image_id2
+        if sel.sum() < options.init_min_num_inliers:
             return False
-        matches = np.asarray(matches)
+        kp1_idx = (
+            np.searchsorted(indptr, np.nonzero(sel)[0], side="right") - 1
+        )
+        matches = np.stack([kp1_idx, cidxs[sel]], axis=1).astype(np.int64)
         x1 = img1.points2D_xy[matches[:, 0]]
         x2 = img2.points2D_xy[matches[:, 1]]
 
@@ -188,7 +187,7 @@ class IncrementalMapper:
         rec.register_image(image_id1)
         rec.register_image(image_id2)
 
-        # seed triangulation with angle checks
+        # seed triangulation with angle checks (fully vectorized numpy)
         inliers = np.asarray(res["inliers"], dtype=bool)
         P1 = img1.cam_from_world.matrix()
         P2 = img2.cam_from_world.matrix()
@@ -197,7 +196,6 @@ class IncrementalMapper:
         xn1 = cam1.cam_from_img(x1)
         xn2 = cam2.cam_from_img(x2)
         min_angle = np.deg2rad(options.init_min_tri_angle)
-        angles = []
         from pycolmap_tpu.ops import solvers as sv
         import jax.numpy as jnp
 
@@ -207,39 +205,45 @@ class IncrementalMapper:
                 jnp.asarray(np.broadcast_to(proj, (len(x1), 2, 3, 4))),
                 jnp.asarray(np.stack([xn1, xn2], axis=1).astype(np.float32)),
             )
+        ).astype(np.float64)
+        Xh = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+        z1 = Xh @ P1[2]
+        z2 = Xh @ P2[2]
+        r1 = c1[None, :] - X
+        r2 = c2[None, :] - X
+        denom = np.linalg.norm(r1, axis=1) * np.linalg.norm(r2, axis=1)
+        cosang = np.sum(r1 * r2, axis=1) / np.maximum(denom, 1e-12)
+        ang = np.arccos(np.clip(cosang, -1, 1))
+        good = inliers & (z1 > 0) & (z2 > 0) & (denom > 1e-12)
+        angles = ang[good]
+        accept = good & (ang >= np.deg2rad(options.min_tri_angle))
+        claimed1 = img1.points2D_point3D_ids[matches[:, 0]] != np.uint64(
+            INVALID_POINT3D_ID
         )
-        for k in range(len(x1)):
-            if not inliers[k]:
-                continue
-            Xk = X[k].astype(np.float64)
-            z1 = (img1.cam_from_world * Xk)[2]
-            z2 = (img2.cam_from_world * Xk)[2]
-            if z1 <= 0 or z2 <= 0:
-                continue
-            r1 = c1 - Xk
-            r2 = c2 - Xk
-            denom = np.linalg.norm(r1) * np.linalg.norm(r2)
-            if denom < 1e-12:
-                continue
-            ang = np.arccos(np.clip(np.dot(r1, r2) / denom, -1, 1))
-            angles.append(ang)
-            if ang >= np.deg2rad(options.min_tri_angle):
-                track = Track(
+        claimed2 = img2.points2D_point3D_ids[matches[:, 1]] != np.uint64(
+            INVALID_POINT3D_ID
+        )
+        accept &= ~(claimed1 | claimed2)
+        # each keypoint may seed at most one track
+        seen1 = set()
+        seen2 = set()
+        for k in np.nonzero(accept)[0]:
+            if matches[k, 0] in seen1 or matches[k, 1] in seen2:
+                accept[k] = False
+            else:
+                seen1.add(int(matches[k, 0]))
+                seen2.add(int(matches[k, 1]))
+        for k in np.nonzero(accept)[0]:
+            rec.add_point3D(
+                X[k],
+                Track(
                     [
                         TrackElement(image_id1, int(matches[k, 0])),
                         TrackElement(image_id2, int(matches[k, 1])),
                     ]
-                )
-                # skip if either keypoint already claimed
-                if (
-                    img1.points2D_point3D_ids[matches[k, 0]]
-                    != np.uint64(INVALID_POINT3D_ID)
-                    or img2.points2D_point3D_ids[matches[k, 1]]
-                    != np.uint64(INVALID_POINT3D_ID)
-                ):
-                    continue
-                rec.add_point3D(Xk, track)
-        if not angles or np.median(angles) < min_angle:
+                ),
+            )
+        if len(angles) == 0 or np.median(angles) < min_angle:
             # degenerate baseline: undo
             rec.deregister_image(image_id1)
             rec.deregister_image(image_id2)

@@ -219,7 +219,9 @@ class IncrementalTriangulator:
         rec = self.reconstruction
         opts = self.options
         V = MAX_TRACK_VIEWS
-        B = len(create_cands)
+        # pad the candidate batch to a power of two so the jitted kernel
+        # compiles once per bucket, not once per candidate count
+        B = max(64, 1 << (len(create_cands) - 1).bit_length())
         proj = np.zeros((B, V, 3, 4), dtype=np.float32)
         x_norm = np.zeros((B, V, 2), dtype=np.float32)
         centers = np.zeros((B, V, 3), dtype=np.float32)
@@ -258,7 +260,7 @@ class IncrementalTriangulator:
         ok = np.asarray(ok)
 
         num = 0
-        for b in range(B):
+        for b in range(len(create_cands)):
             if not ok[b]:
                 continue
             views = track_views[b]

@@ -98,6 +98,9 @@ class _FeatureCache:
         return self.cameras[cam_id]
 
 
+_BATCH_VERIFY_SIZE = 16  # pairs verified per device program
+
+
 def _match_and_verify_pairs(
     db: Database,
     pairs,
@@ -105,44 +108,75 @@ def _match_and_verify_pairs(
     verification_options: TwoViewGeometryOptions,
     verbose: bool = False,
 ):
-    """The shared inner loop of every pairing strategy."""
+    """The shared inner loop of every pairing strategy.
+
+    Geometric verification runs pair-parallel: blocks of pairs are estimated
+    in one compiled program (estimators/batch_two_view.py, SURVEY §2c P1);
+    guided matching falls back to the per-pair path for the few pairs that
+    request it.
+    """
+    from pycolmap_tpu.estimators.batch_two_view import verify_pairs_batch
+
     cache = _FeatureCache(db)
     num_verified = 0
+    block = []  # (id1, id2, pair_data dict, d1, d2, kp1, kp2)
+
+    def flush():
+        nonlocal num_verified
+        if not block:
+            return
+        geoms = verify_pairs_batch(
+            [b[2] for b in block], verification_options
+        )
+        for (image_id1, image_id2, p, d1, d2, kp1, kp2), g in zip(block, geoms):
+            if matching_options.guided_matching and g.config not in (
+                int(TwoViewGeometryConfiguration.UNDEFINED),
+                int(TwoViewGeometryConfiguration.DEGENERATE),
+            ):
+                guided = match_guided(
+                    d1, d2, kp1[:, :2], kp2[:, :2], g, matching_options,
+                    max_error=verification_options.ransac.max_error,
+                )
+                if len(guided) > len(g.inlier_matches):
+                    g2 = estimate_calibrated_two_view_geometry(
+                        p["cam1"], kp1[:, :2], p["cam2"], kp2[:, :2], guided,
+                        verification_options,
+                    )
+                    if len(g2.inlier_matches) > len(g.inlier_matches):
+                        g = g2
+            db.write_two_view_geometry(image_id1, image_id2, g)
+            if len(g.inlier_matches) >= verification_options.min_num_inliers:
+                num_verified += 1
+            if verbose:
+                print(
+                    f"pair ({image_id1}, {image_id2}): {len(p['matches'])} "
+                    f"matches, {len(g.inlier_matches)} inliers, config {g.config}"
+                )
+        block.clear()
+
     for image_id1, image_id2 in pairs:
         kp1, d1 = cache.load(image_id1)
         kp2, d2 = cache.load(image_id2)
         matches = match_descriptors(d1, d2, matching_options)
-        if len(matches) == 0:
-            db.write_matches(image_id1, image_id2, matches)
-            continue
         db.write_matches(image_id1, image_id2, matches)
-        cam1 = cache.camera_of(image_id1)
-        cam2 = cache.camera_of(image_id2)
-        g = estimate_calibrated_two_view_geometry(
-            cam1, kp1[:, :2], cam2, kp2[:, :2], matches, verification_options
+        if len(matches) < verification_options.min_num_inliers:
+            continue
+        block.append(
+            (
+                image_id1, image_id2,
+                {
+                    "x1_px": kp1[matches[:, 0], :2],
+                    "x2_px": kp2[matches[:, 1], :2],
+                    "cam1": cache.camera_of(image_id1),
+                    "cam2": cache.camera_of(image_id2),
+                    "matches": matches,
+                },
+                d1, d2, kp1, kp2,
+            )
         )
-        if matching_options.guided_matching and g.config not in (
-            int(TwoViewGeometryConfiguration.UNDEFINED),
-            int(TwoViewGeometryConfiguration.DEGENERATE),
-        ):
-            guided = match_guided(
-                d1, d2, kp1[:, :2], kp2[:, :2], g, matching_options,
-                max_error=verification_options.ransac.max_error,
-            )
-            if len(guided) > len(g.inlier_matches):
-                g2 = estimate_calibrated_two_view_geometry(
-                    cam1, kp1[:, :2], cam2, kp2[:, :2], guided, verification_options
-                )
-                if len(g2.inlier_matches) > len(g.inlier_matches):
-                    g = g2
-        db.write_two_view_geometry(image_id1, image_id2, g)
-        if len(g.inlier_matches) >= verification_options.min_num_inliers:
-            num_verified += 1
-        if verbose:
-            print(
-                f"pair ({image_id1}, {image_id2}): {len(matches)} matches, "
-                f"{len(g.inlier_matches)} inliers, config {g.config}"
-            )
+        if len(block) >= _BATCH_VERIFY_SIZE:
+            flush()
+    flush()
     db.commit()
     return num_verified
 

@@ -21,6 +21,9 @@ class DatabaseCache:
         self.cameras = {}
         self.images = {}
         self.correspondence_graph = CorrespondenceGraph()
+        # (id1, id2) -> relative rotation angle [rad] from the stored
+        # two-view geometry (0 when the matcher did not store a pose)
+        self.pair_rotation = {}
 
     @staticmethod
     def load(
@@ -48,9 +51,9 @@ class DatabaseCache:
                 cache.correspondence_graph.add_image(img.image_id, len(kps))
 
             rows = db._conn.execute(
-                "SELECT pair_id, rows, data, config FROM two_view_geometries"
+                "SELECT pair_id, rows, data, config, qvec FROM two_view_geometries"
             ).fetchall()
-            for pair_id, nrows, data, config in rows:
+            for pair_id, nrows, data, config, qvec in rows:
                 if nrows is None or nrows < min_num_matches:
                     continue
                 if ignore_watermarks and config == int(C.WATERMARK):
@@ -64,6 +67,13 @@ class DatabaseCache:
                 cache.correspondence_graph.add_correspondences(
                     id1, id2, m.astype(np.int64)
                 )
+                if qvec:
+                    q = np.frombuffer(qvec, dtype=np.float64)
+                    if q.size == 4 and np.isfinite(q).all():
+                        w = abs(q[0]) / max(np.linalg.norm(q), 1e-12)
+                        cache.pair_rotation[(id1, id2)] = float(
+                            2.0 * np.arccos(min(w, 1.0))
+                        )
             cache.correspondence_graph.finalize()
         finally:
             db.close()

@@ -132,18 +132,31 @@ class IncrementalMapper:
 
     # -- initialization ------------------------------------------------------
     def find_initial_image_pair(self, options: IncrementalMapperOptions):
-        """Rank image pairs by correspondence count; return the best untried.
+        """Best untried init pair.
 
-        (upstream FindFirstInitialImage / FindSecondInitialImage)."""
+        Ranking: correspondence count weighted by the relative rotation angle
+        stored with the pair's two-view geometry (when the matcher recorded a
+        pose). Pure count ranking — the upstream heuristic — degenerates on
+        scenes where adjacent frames have the most matches but near-zero
+        baseline; the rotation weight surfaces wide-baseline pairs first and
+        reduces to count ranking when no poses are stored. Each pair is tried
+        once: the estimators are deterministic (fixed seed), so retries
+        cannot change the outcome.
+        """
         graph = self.cache.correspondence_graph
-        pairs = sorted(
-            graph.image_pairs().items(), key=lambda kv: -kv[1]
-        )
+        rot = self.cache.pair_rotation
+
+        def score(item):
+            (id1, id2), ncorr = item
+            ang = rot.get((id1, id2), 0.0)
+            return ncorr * (0.05 + min(np.degrees(ang), 30.0))
+
+        pairs = sorted(graph.image_pairs().items(), key=lambda kv: -score(kv))
         for (id1, id2), ncorr in pairs:
             if ncorr < options.init_min_num_inliers:
-                break
+                continue
             key = (id1, id2)
-            if self._init_pair_trials[key] >= options.init_max_reg_trials:
+            if self._init_pair_trials[key] >= 1:
                 continue
             if id1 not in self.cache.images or id2 not in self.cache.images:
                 continue

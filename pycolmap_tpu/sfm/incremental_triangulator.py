@@ -105,6 +105,11 @@ class IncrementalTriangulator:
         self._cam_cache = {}
         self._merge_trials = defaultdict(int)
         self._re_num_trials = defaultdict(int)
+        # memoization: skip complete/merge for points whose tracks have not
+        # changed since the last pass (the correspondence graph is static, so
+        # a point's completion candidates only change when its track does)
+        self._completed_at_len = {}
+        self._merged_at_len = {}
 
     # -- helpers -------------------------------------------------------------
     def _camera_ok(self, camera) -> bool:
@@ -323,6 +328,9 @@ class IncrementalTriangulator:
             pt = rec.points3D.get(pid)
             if pt is None:
                 continue
+            if self._merged_at_len.get(pid) == pt.track.length():
+                continue
+            self._merged_at_len[pid] = pt.track.length()
             # find linked points through correspondences of track keypoints
             linked = set()
             for el in pt.track.elements:
@@ -356,6 +364,8 @@ class IncrementalTriangulator:
             pt = rec.points3D.get(pid)
             if pt is None:
                 continue
+            if self._completed_at_len.get(pid) == pt.track.length():
+                continue
             queue = [(el.image_id, el.point2D_idx, 0) for el in pt.track.elements]
             seen = {(el.image_id, el.point2D_idx) for el in pt.track.elements}
             while queue:
@@ -385,6 +395,8 @@ class IncrementalTriangulator:
                         rec.add_observation(pid, TrackElement(cimg, cidx))
                         queue.append((cimg, cidx, depth + 1))
                         num += 1
+            if pid in rec.points3D:
+                self._completed_at_len[pid] = rec.points3D[pid].track.length()
         return num
 
     def complete_image(self, image_id: int) -> int:

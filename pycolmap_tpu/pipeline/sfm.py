@@ -329,7 +329,6 @@ def incremental_mapping(
         manager.get(idx).read(input_path)
 
     mapper = IncrementalMapper(cache)
-    num_snapshot = 0
 
     initial_models = len(manager)
     max_models = options.max_num_models if options.multiple_models else 1
@@ -346,10 +345,27 @@ def incremental_mapping(
         cache.setup_reconstruction(rec)
         mapper.begin_reconstruction(rec, options.triangulation)
 
+        num_snapshot_state = {"count": 0, "last": 0}
+
+        def _snapshot_cb():
+            if next_image_callback:
+                next_image_callback()
+            if options.snapshot_path and options.snapshot_images_freq > 0:
+                n = rec.num_reg_images
+                if n - num_snapshot_state["last"] >= options.snapshot_images_freq:
+                    num_snapshot_state["last"] = n
+                    snap = (
+                        Path(options.snapshot_path)
+                        / f"{num_snapshot_state['count']:06d}"
+                    )
+                    snap.mkdir(parents=True, exist_ok=True)
+                    rec.write_binary(snap)
+                    num_snapshot_state["count"] += 1
+
         kept = _reconstruct_model(
             mapper, cache, options,
             initial_callback=initial_image_pair_callback,
-            next_callback=next_image_callback,
+            next_callback=_snapshot_cb,
         )
         total_reg = rec.num_reg_images
         mapper.end_reconstruction(discard=not kept)
@@ -359,12 +375,6 @@ def incremental_mapping(
             if not kept:
                 break
             continue
-        # snapshots
-        if options.snapshot_path and options.snapshot_images_freq > 0:
-            snap = Path(options.snapshot_path) / f"{num_snapshot:06d}"
-            snap.mkdir(parents=True, exist_ok=True)
-            rec.write_binary(snap)
-            num_snapshot += 1
         # stop if most images registered
         reg_total = {
             i for r in manager.reconstructions for i in r.reg_image_ids

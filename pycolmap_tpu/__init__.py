@@ -74,9 +74,11 @@ from pycolmap_tpu.estimators import (
     estimate_two_view_geometry,
     estimate_two_view_geometry_pose,
     fundamental_matrix_estimation,
+    homography_decomposition,
     homography_matrix_estimation,
     pose_refinement,
     refine_absolute_pose,
+    rig_absolute_pose_estimation,
 )
 from pycolmap_tpu.features import (
     Normalization,

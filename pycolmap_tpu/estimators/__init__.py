@@ -25,6 +25,12 @@ from pycolmap_tpu.estimators.homography_matrix import (
     estimate_homography_matrix,
     homography_matrix_estimation,
 )
+from pycolmap_tpu.estimators.generalized_absolute_pose import (
+    rig_absolute_pose_estimation,
+)
+from pycolmap_tpu.estimators.homography_decomposition import (
+    homography_decomposition,
+)
 from pycolmap_tpu.estimators.ransac import RANSACOptions
 from pycolmap_tpu.estimators.triangulation import (
     EstimateTriangulationOptions,

@@ -229,13 +229,22 @@ class Reconstruction:
             return 0.0
         return self.compute_num_observations() / n
 
-    def _all_observations(self):
-        """Flatten all observations into arrays for batched reprojection.
+    def _all_observations(self, point3D_ids=None):
+        """Flatten (a subset of) observations into arrays for batched
+        reprojection.
 
         Returns (point3D_ids, xyz [M,3], image_ids, xy [M,2]) per observation.
         """
         pids, xyzs, iids, xys = [], [], [], []
-        for pid, pt in self.points3D.items():
+        if point3D_ids is None:
+            items = self.points3D.items()
+        else:
+            items = (
+                (pid, self.points3D[pid])
+                for pid in point3D_ids
+                if pid in self.points3D
+            )
+        for pid, pt in items:
             for el in pt.track.elements:
                 img = self.images.get(el.image_id)
                 if img is None:
@@ -258,12 +267,12 @@ class Reconstruction:
             np.asarray(xys),
         )
 
-    def compute_reprojection_errors(self):
+    def compute_reprojection_errors(self, point3D_ids=None):
         """Per-observation reprojection errors, batched by camera model.
 
         Returns (point3D_ids, image_ids, errors, depths) arrays of length M.
         """
-        pids, xyz, iids, xy = self._all_observations()
+        pids, xyz, iids, xy = self._all_observations(point3D_ids)
         if len(pids) == 0:
             return pids, iids, np.zeros(0), np.zeros(0)
         # world -> camera, vectorized per image via 3x4 matrices
@@ -339,7 +348,7 @@ class Reconstruction:
         """Drop observations with high reprojection error or negative depth and
         points with small maximum triangulation angle. Returns #filtered obs."""
         selected = set(point3D_ids) if point3D_ids is not None else None
-        pids, iids, errors, depths = self.compute_reprojection_errors()
+        pids, iids, errors, depths = self.compute_reprojection_errors(selected)
         num_filtered = 0
         # 1) per-observation error / cheirality test
         obs_by_pid = defaultdict(list)
@@ -387,16 +396,14 @@ class Reconstruction:
             ]
             if len(cs) < 2:
                 continue
-            max_angle = 0.0
-            for a in range(len(cs)):
-                for b in range(a + 1, len(cs)):
-                    r1 = cs[a] - pt.xyz
-                    r2 = cs[b] - pt.xyz
-                    denom = np.linalg.norm(r1) * np.linalg.norm(r2)
-                    if denom < 1e-12:
-                        continue
-                    ang = np.arccos(np.clip(np.dot(r1, r2) / denom, -1, 1))
-                    max_angle = max(max_angle, ang)
+            rays = np.asarray(cs) - pt.xyz[None, :]
+            norms = np.linalg.norm(rays, axis=1)
+            ok = norms > 1e-12
+            if ok.sum() < 2:
+                continue
+            unit = rays[ok] / norms[ok, None]
+            cosang = np.clip(unit @ unit.T, -1, 1)
+            max_angle = float(np.arccos(cosang).max())
             if max_angle < min_angle:
                 num_filtered += pt.track.length()
                 self.delete_point3D(pid)

@@ -77,26 +77,44 @@ def build_bundle_problem(
         )
     model_id = cm.model_id_from_name(next(iter(model_names))) if camera_ids else 1
 
-    # collect observations of points seen by included images
-    point_ids = []
-    point_index = {}
-    obs_image, obs_cam, obs_point, obs_xy = [], [], [], []
+    # collect observations of points seen by included images (vectorized:
+    # one mask + gather per image, np.unique to build the point index — the
+    # per-observation python loop dominated global-BA host prep at scale)
+    per_img_pids, per_img_xy, per_img_rows, per_img_cam = [], [], [], []
     for iid in image_ids:
         img = reconstruction.images[iid]
-        cam_row = camera_index[img.camera_id]
         p3d = img.points2D_point3D_ids
-        xy = img.points2D_xy
-        for k in np.nonzero(p3d != np.uint64(INVALID_POINT3D_ID))[0]:
-            pid = int(p3d[k])
-            if variable_point_ids is not None and pid not in variable_point_ids:
-                continue
-            if pid not in point_index:
-                point_index[pid] = len(point_ids)
-                point_ids.append(pid)
-            obs_image.append(image_index[iid])
-            obs_cam.append(cam_row)
-            obs_point.append(point_index[pid])
-            obs_xy.append(xy[k])
+        valid = p3d != np.uint64(INVALID_POINT3D_ID)
+        pids_i = p3d[valid].astype(np.int64)
+        xy_i = img.points2D_xy[valid]
+        if variable_point_ids is not None:
+            keep = np.isin(pids_i, np.fromiter(variable_point_ids, dtype=np.int64))
+            pids_i = pids_i[keep]
+            xy_i = xy_i[keep]
+        per_img_pids.append(pids_i)
+        per_img_xy.append(xy_i)
+        per_img_rows.append(
+            np.full(len(pids_i), image_index[iid], dtype=np.int32)
+        )
+        per_img_cam.append(
+            np.full(len(pids_i), camera_index[img.camera_id], dtype=np.int32)
+        )
+    if per_img_pids and sum(len(p) for p in per_img_pids):
+        all_pids = np.concatenate(per_img_pids)
+        uniq, inverse = np.unique(all_pids, return_inverse=True)
+        point_ids = uniq.tolist()
+        point_index = {int(p): k for k, p in enumerate(uniq)}
+        obs_image = np.concatenate(per_img_rows)
+        obs_cam = np.concatenate(per_img_cam)
+        obs_point = inverse.astype(np.int32)
+        obs_xy = np.concatenate(per_img_xy) if len(all_pids) else np.zeros((0, 2))
+    else:
+        point_ids = []
+        point_index = {}
+        obs_image = np.zeros(0, dtype=np.int32)
+        obs_cam = np.zeros(0, dtype=np.int32)
+        obs_point = np.zeros(0, dtype=np.int32)
+        obs_xy = np.zeros((0, 2))
 
     num_i, num_c, num_p, num_m = (
         len(image_ids), len(camera_ids), len(point_ids), len(obs_image),

@@ -138,7 +138,9 @@ def refine_pose_normalized(quat, trans, x_norm, X, inlier_mask, loss_scale=1.0):
     compiles once per bucket rather than once per match count.
     """
     n = len(x_norm)
-    n_pad = max(64, 1 << (n - 1).bit_length())
+    n_pad = 256
+    while n_pad < n:
+        n_pad *= 4
     xp = np.zeros((n_pad, 2), dtype=np.float32)
     Xp = np.zeros((n_pad, 3), dtype=np.float32)
     Xp[:, 2] = 1.0  # benign padding geometry (in front of any camera)

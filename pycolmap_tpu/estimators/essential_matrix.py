@@ -49,7 +49,9 @@ def _pose_from_essential_padded(E, x1, x2, inlier_mask):
     dominated initial-pair search wall time on remote backends.
     """
     n = len(x1)
-    n_pad = max(64, 1 << (n - 1).bit_length())
+    n_pad = 256
+    while n_pad < n:
+        n_pad *= 4
     x1p = np.zeros((n_pad, 2), dtype=np.float32)
     x2p = np.zeros((n_pad, 2), dtype=np.float32)
     maskp = np.zeros(n_pad, dtype=bool)

@@ -195,9 +195,16 @@ class BatchedLORANSAC:
 
     # -- host orchestration --------------------------------------------------
     @staticmethod
-    def _pad_pow2(n, lo=64):
+    def _pad_pow2(n, lo=256):
+        """Pad to 4x-steps (256, 1k, 4k, 16k...): ~half the compile variants
+        of pow2 steps — each fresh compile costs ~70s+ on remote-compile
+        backends, which dominates cold-start mapping far more than the
+        wasted padding compute."""
         n = max(n, lo)
-        return 1 << (n - 1).bit_length()
+        b = lo
+        while b < n:
+            b *= 4
+        return b
 
     def estimate(self, options: RANSACOptions, *data, seed: int = 0) -> RANSACReport:
         """Run chunks until the confidence criterion is met, then LO-refit.

@@ -224,9 +224,11 @@ class IncrementalTriangulator:
         rec = self.reconstruction
         opts = self.options
         V = MAX_TRACK_VIEWS
-        # pad the candidate batch to a power of two so the jitted kernel
+        # pad the candidate batch to a 4x-step bucket so the jitted kernel
         # compiles once per bucket, not once per candidate count
-        B = max(64, 1 << (len(create_cands) - 1).bit_length())
+        B = 256
+        while B < len(create_cands):
+            B *= 4
         proj = np.zeros((B, V, 3, 4), dtype=np.float32)
         x_norm = np.zeros((B, V, 2), dtype=np.float32)
         centers = np.zeros((B, V, 3), dtype=np.float32)

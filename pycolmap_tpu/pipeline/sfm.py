@@ -219,9 +219,14 @@ def _extract_colors(rec, image_path):
             pt.color = np.clip(sums[pid] / counts[pid], 0, 255).astype(np.uint8)
 
 
+_PROFILE = __import__("os").environ.get("PYCOLMAP_TPU_PROFILE") == "1"
+
+
 def _reconstruct_model(mapper, cache, options, initial_callback=None,
                        next_callback=None, verbose=True):
     """Grow one model; returns True if it should be kept."""
+    import time as _time
+
     log = _logging.get_logger()
     mopts = options.get_mapper()
     rec = mapper.reconstruction
@@ -254,16 +259,31 @@ def _reconstruct_model(mapper, cache, options, initial_callback=None,
     num_global_points = max(rec.num_points3D, 1)
 
     while True:
+        t_find = _time.perf_counter()
         candidates = mapper.find_next_images(mopts)
+        if _PROFILE:
+            log.info(
+                f"profile find_next_images: {_time.perf_counter() - t_find:.2f}s"
+            )
         if not candidates:
             break
         registered_any = False
         for image_id in candidates[:5]:
+            t_reg = _time.perf_counter()
             if mapper.register_next_image(mopts, image_id):
                 registered_any = True
+                t0 = _time.perf_counter()
                 mapper.triangulator.clear_cache()
                 mapper.triangulate_image(options.triangulation, image_id)
+                t_tri = _time.perf_counter()
                 _iterative_local_refinement(mapper, options, image_id)
+                t_local = _time.perf_counter()
+                if _PROFILE:
+                    log.info(
+                        f"profile img {image_id}: register "
+                        f"{t0 - t_reg:.2f}s triangulate {t_tri - t0:.2f}s "
+                        f"local_ba {t_local - t_tri:.2f}s"
+                    )
                 if next_callback:
                     next_callback()
                 log.info(
@@ -281,7 +301,14 @@ def _reconstruct_model(mapper, cache, options, initial_callback=None,
                     or rec.num_points3D
                     >= num_global_points + options.ba_global_points_freq
                 ):
+                    t_g = _time.perf_counter()
                     _iterative_global_refinement(mapper, options)
+                    if _PROFILE:
+                        log.info(
+                            f"profile global refinement: "
+                            f"{_time.perf_counter() - t_g:.2f}s "
+                            f"({rec.num_reg_images} images)"
+                        )
                     num_global_images = max(rec.num_reg_images, 2)
                     num_global_points = max(rec.num_points3D, 1)
                 break

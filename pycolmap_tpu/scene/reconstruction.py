@@ -490,6 +490,7 @@ class Reconstruction:
 
     def write_binary(self, path):
         path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
         self._write_cameras_binary(path / "cameras.bin")
         self._write_images_binary(path / "images.bin")
         self._write_points3D_binary(path / "points3D.bin")

@@ -86,6 +86,7 @@ class IncrementalPipelineOptions(BaseOptions):
     def get_mapper(self) -> IncrementalMapperOptions:
         m = copy.deepcopy(self.mapper)
         m.local_ba_num_images = self.ba_local_num_images
+        m.max_model_overlap = self.max_model_overlap
         m.fix_existing_images = self.fix_existing_images
         m.min_focal_length_ratio = self.min_focal_length_ratio
         m.max_focal_length_ratio = self.max_focal_length_ratio

@@ -64,6 +64,7 @@ class IncrementalMapperOptions(BaseOptions):
     local_ba_min_tri_angle: float = 6.0
     min_tri_angle: float = 1.5
     max_reg_trials: int = 3
+    max_model_overlap: int = 20
     fix_existing_images: bool = False
     num_threads: int = -1
     filter_max_reproj_error: float = 4.0
@@ -108,6 +109,10 @@ class IncrementalMapper:
         self.reconstruction = None
         self.triangulator = None
         self.num_reg_trials = defaultdict(int)
+        # registrations per image across ALL models (upstream
+        # num_registrations_): bounds model overlap and keeps new models
+        # from re-reconstructing an already-covered component
+        self.num_total_registrations = defaultdict(int)
         self.existing_image_ids = set()
         self.filtered_images = set()
         self._init_pair_trials = defaultdict(int)
@@ -160,6 +165,13 @@ class IncrementalMapper:
                 continue
             if id1 not in self.cache.images or id2 not in self.cache.images:
                 continue
+            # a new model must start from unexplored images (upstream
+            # FindFirstInitialImage prefers unregistered images)
+            if (
+                self.num_total_registrations[id1] > 0
+                or self.num_total_registrations[id2] > 0
+            ):
+                continue
             self._init_pair_trials[key] += 1
             return id1, id2
         return None, None
@@ -199,6 +211,8 @@ class IncrementalMapper:
         img2.cam_from_world = rel
         rec.register_image(image_id1)
         rec.register_image(image_id2)
+        self.num_total_registrations[image_id1] += 1
+        self.num_total_registrations[image_id2] += 1
 
         # seed triangulation with angle checks (fully vectorized numpy)
         inliers = np.asarray(res["inliers"], dtype=bool)
@@ -308,6 +322,8 @@ class IncrementalMapper:
                 continue
             if self.num_reg_trials[iid] >= options.max_reg_trials:
                 continue
+            if self.num_total_registrations[iid] >= options.max_model_overlap:
+                continue
             if img.num_points2D == 0:
                 continue
             indptr, _, _, pid, _ = self._linked_pids_for_image(iid)
@@ -381,6 +397,7 @@ class IncrementalMapper:
 
         img.cam_from_world = res["cam_from_world"]
         rec.register_image(image_id)
+        self.num_total_registrations[image_id] += 1
         # link inlier observations to existing points
         inl = np.asarray(res["inliers"], dtype=bool)
         for k in np.nonzero(inl)[0]:

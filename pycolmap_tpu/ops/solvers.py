@@ -284,6 +284,229 @@ def essential_8pt(x1, x2, w=None):
     return E
 
 
+# ---------------------------------------------------------------------------
+# Nistér 5-point essential matrix
+# ---------------------------------------------------------------------------
+#
+# Polynomial bookkeeping for E(x, y, z) = x*B0 + y*B1 + z*B2 + B3 where
+# {B0..B3} is the 4-dim null space of the 5x9 epipolar design matrix.
+# Degree-1 polynomials are length-4 coefficient vectors over [x, y, z, 1];
+# degree-2 over MON2; degree-3 over MON3 (20 monomials).
+
+_MON2 = "x2 xy xz y2 yz z2 x y z 1"  # indices 0..9 (documentation)
+_MON3 = (
+    "x3 x2y x2z x2 xy2 xyz xy xz2 xz x y3 y2z y2 yz2 yz y z3 z2 z 1"
+)  # indices 0..19
+
+# (mon2 index, deg1 index over [x,y,z,1]) -> mon3 index
+_O2_MAP = (
+    (0, 0, 0), (0, 1, 1), (0, 2, 2), (0, 3, 3),
+    (1, 0, 1), (1, 1, 4), (1, 2, 5), (1, 3, 6),
+    (2, 0, 2), (2, 1, 5), (2, 2, 7), (2, 3, 8),
+    (3, 0, 4), (3, 1, 10), (3, 2, 11), (3, 3, 12),
+    (4, 0, 5), (4, 1, 11), (4, 2, 13), (4, 3, 14),
+    (5, 0, 7), (5, 1, 13), (5, 2, 16), (5, 3, 17),
+    (6, 0, 3), (6, 1, 6), (6, 2, 8), (6, 3, 9),
+    (7, 0, 6), (7, 1, 12), (7, 2, 14), (7, 3, 15),
+    (8, 0, 8), (8, 1, 14), (8, 2, 17), (8, 3, 18),
+    (9, 0, 9), (9, 1, 15), (9, 2, 18), (9, 3, 19),
+)
+
+# Nistér column order: 10 "eliminated" monomials first, then
+# [xz2, xz, x, yz2, yz, y, z3, z2, z, 1]
+_NISTER_PERM = (0, 10, 1, 4, 2, 3, 11, 12, 5, 6, 7, 8, 9, 13, 14, 15, 16, 17, 18, 19)
+
+
+def _poly1_mul(a, b):
+    """deg1 [..., 4] x deg1 [..., 4] -> deg2 [..., 10] over MON2."""
+    ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            ax * bx,
+            ax * by + ay * bx,
+            ax * bz + az * bx,
+            ay * by,
+            ay * bz + az * by,
+            az * bz,
+            ax * bw + aw * bx,
+            ay * bw + aw * by,
+            az * bw + aw * bz,
+            aw * bw,
+        ],
+        axis=-1,
+    )
+
+
+def _poly2_mul1(c, b):
+    """deg2 [..., 10] x deg1 [..., 4] -> deg3 [..., 20] over MON3."""
+    terms = [jnp.zeros(c.shape[:-1], c.dtype) for _ in range(20)]
+    for i2, i1, i3 in _O2_MAP:
+        terms[i3] = terms[i3] + c[..., i2] * b[..., i1]
+    return jnp.stack(terms, axis=-1)
+
+
+def _polyval_desc(coeffs, z):
+    """Horner evaluation; coeffs [..., D+1] highest degree first."""
+    out = coeffs[..., 0]
+    for k in range(1, coeffs.shape[-1]):
+        out = out * z + coeffs[..., k]
+    return out
+
+
+def _essential_5pt_single(x1, x2):
+    """Nistér 5-point solver for ONE sample. x1, x2: [5, 2] normalized coords.
+
+    Returns (E [10, 3, 3], valid [10]). TPU-first design: the classic
+    degree-10 polynomial is solved by sign-change isolation on a tan-angle
+    grid + fixed-iteration bisection (branch-free, batched), instead of the
+    companion-matrix nonsymmetric eig XLA lacks on TPU.
+    Ref parity: estimators/essential_matrix.h:48-52 (LORANSAC 5-point).
+    """
+    one = jnp.ones(5, dtype=x1.dtype)
+    A = jnp.stack(
+        [
+            x2[:, 0] * x1[:, 0], x2[:, 0] * x1[:, 1], x2[:, 0],
+            x2[:, 1] * x1[:, 0], x2[:, 1] * x1[:, 1], x2[:, 1],
+            x1[:, 0], x1[:, 1], one,
+        ],
+        axis=-1,
+    )  # [5, 9]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    basis = Vt[5:9]  # [4, 9]: E = x*B0 + y*B1 + z*B2 + B3
+    # E entries as degree-1 polynomials: Epoly [3, 3, 4]
+    Epoly = jnp.moveaxis(basis.reshape(4, 3, 3), 0, -1)
+
+    # --- the 10 cubic constraints -> M [10, 20] ---------------------------
+    def det_row():
+        def cof(i1, j1, i2, j2):
+            return _poly1_mul(Epoly[i1, j1], Epoly[i2, j2])
+
+        c0 = cof(1, 1, 2, 2) - cof(1, 2, 2, 1)
+        c1 = cof(1, 2, 2, 0) - cof(1, 0, 2, 2)
+        c2 = cof(1, 0, 2, 1) - cof(1, 1, 2, 0)
+        return (
+            _poly2_mul1(c0, Epoly[0, 0])
+            + _poly2_mul1(c1, Epoly[0, 1])
+            + _poly2_mul1(c2, Epoly[0, 2])
+        )
+
+    # T = E E^T (deg-2, symmetric), M2 = 2T - tr(T) I
+    T = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            acc = _poly1_mul(Epoly[i, 0], Epoly[j, 0])
+            acc = acc + _poly1_mul(Epoly[i, 1], Epoly[j, 1])
+            acc = acc + _poly1_mul(Epoly[i, 2], Epoly[j, 2])
+            T[i][j] = acc
+            T[j][i] = acc
+    tr = T[0][0] + T[1][1] + T[2][2]
+    rows = [det_row()]
+    for i in range(3):
+        for j in range(3):
+            acc = _poly2_mul1(2.0 * T[i][0], Epoly[0, j])
+            acc = acc + _poly2_mul1(2.0 * T[i][1], Epoly[1, j])
+            acc = acc + _poly2_mul1(2.0 * T[i][2], Epoly[2, j])
+            acc = acc - _poly2_mul1(tr, Epoly[i, j])
+            rows.append(acc)
+    M = jnp.stack(rows)[:, jnp.array(_NISTER_PERM)]  # [10, 20]
+
+    # --- Gauss-Jordan: R = M_left^-1 M_right ------------------------------
+    R = jnp.linalg.solve(M[:, :10], M[:, 10:])  # [10, 10]
+    # last-10 monomial order: [xz2, xz, x, yz2, yz, y, z3, z2, z, 1]
+    e, f = R[4], R[5]
+    g, h = R[6], R[7]
+    i_, j_ = R[8], R[9]
+
+    def kpoly(u, v):
+        """<u> - z<v> -> (p [4] x-coeffs z^3..1, q [4] y-coeffs, r [5] z^4..1)."""
+        p = jnp.stack([-v[0], u[0] - v[1], u[1] - v[2], u[2]])
+        q = jnp.stack([-v[3], u[3] - v[4], u[4] - v[5], u[5]])
+        r = jnp.stack([-v[6], u[6] - v[7], u[7] - v[8], u[8] - v[9], u[9]])
+        return p, q, r
+
+    kp, kq, kr = kpoly(e, f)
+    lp, lq, lr = kpoly(g, h)
+    mp, mq, mr = kpoly(i_, j_)
+
+    # det of the 3x3 polynomial matrix B = [[kp,kq,kr],[lp,lq,lr],[mp,mq,mr]]
+    conv = jnp.convolve
+    qr_lm = conv(lq, mr) - conv(lr, mq)  # deg 7 [8]
+    pr_lm = conv(lp, mr) - conv(lr, mp)  # deg 7 [8]
+    pq_lm = conv(lp, mq) - conv(lq, mp)  # deg 6 [7]
+    n = conv(kp, qr_lm) - conv(kq, pr_lm) + conv(kr, pq_lm)  # [11], z^10..1
+    n = n / jnp.maximum(jnp.max(jnp.abs(n)), 1e-20)
+
+    # --- real roots: tan-angle grid + bisection ----------------------------
+    G = 512
+    theta = jnp.linspace(-jnp.pi / 2 + 1e-4, jnp.pi / 2 - 1e-4, G)
+
+    def qval(th):
+        s, t = jnp.sin(th), jnp.cos(th)
+        # homogeneous evaluation: t^10 * n(s/t), bounded for all th
+        powers_s = s[..., None] ** jnp.arange(10, -1, -1)
+        powers_t = t[..., None] ** jnp.arange(0, 11)
+        return jnp.sum(n * powers_s * powers_t, axis=-1)
+
+    qg = qval(theta)
+    change = jnp.sign(qg[:-1]) * jnp.sign(qg[1:]) < 0  # [G-1]
+    pos = jnp.where(change, jnp.arange(G - 1), 2 * G)
+    take = jnp.sort(pos)[:10]
+    valid = take < G
+    take_safe = jnp.where(valid, take, 0)
+    lo = theta[take_safe]
+    hi = theta[take_safe + 1]
+    qlo = qval(lo)
+
+    def bisect_body(_, carry):
+        lo, hi, qlo = carry
+        mid = 0.5 * (lo + hi)
+        qm = qval(mid)
+        go_right = jnp.sign(qm) == jnp.sign(qlo)
+        lo_new = jnp.where(go_right, mid, lo)
+        hi_new = jnp.where(go_right, hi, mid)
+        qlo_new = jnp.where(go_right, qm, qlo)
+        return lo_new, hi_new, qlo_new
+
+    lo, hi, _ = jax.lax.fori_loop(0, 48, bisect_body, (lo, hi, qlo))
+    z = jnp.tan(0.5 * (lo + hi))  # [10]
+
+    # --- back-substitute x, y; assemble E ----------------------------------
+    kp_z = _polyval_desc(kp, z)
+    kq_z = _polyval_desc(kq, z)
+    kr_z = _polyval_desc(kr, z)
+    lp_z = _polyval_desc(lp, z)
+    lq_z = _polyval_desc(lq, z)
+    lr_z = _polyval_desc(lr, z)
+    det2 = kp_z * lq_z - kq_z * lp_z
+    det2_safe = jnp.where(jnp.abs(det2) < 1e-20, 1e-20, det2)
+    x = (kq_z * lr_z - kr_z * lq_z) / det2_safe
+    y = (kr_z * lp_z - kp_z * lr_z) / det2_safe
+
+    B = basis.reshape(4, 3, 3)
+    E = (
+        x[:, None, None] * B[0]
+        + y[:, None, None] * B[1]
+        + z[:, None, None] * B[2]
+        + B[3]
+    )  # [10, 3, 3]
+    norm = jnp.linalg.norm(E.reshape(10, 9), axis=-1)
+    ok = (
+        valid
+        & jnp.isfinite(norm)
+        & (norm > 1e-12)
+        & jnp.all(jnp.isfinite(E.reshape(10, 9)), axis=-1)
+    )
+    E = E / jnp.where(norm > 1e-12, norm, 1.0)[:, None, None]
+    E = jnp.where(ok[:, None, None], E, jnp.eye(3, dtype=E.dtype))
+    return E, ok
+
+
+def essential_5pt(x1, x2):
+    """Batched Nistér 5-point. x1, x2: [K, 5, 2] -> (E [K, 10, 3, 3], valid [K, 10])."""
+    return jax.vmap(_essential_5pt_single)(x1, x2)
+
+
 def fundamental_7pt(x1, x2):
     """7-point algorithm: up to 3 solutions. x: [..., 7, 2].
 

@@ -165,20 +165,36 @@ def _iterative_local_refinement(mapper, options, image_id):
 
 def _iterative_global_refinement(mapper, options):
     """Retriangulate + global BA rounds (upstream IterativeGlobalRefinement)."""
+    import time as _time
+
+    log = _logging.get_logger()
+    t0 = _time.perf_counter()
     mapper.triangulator.clear_cache()
     mapper.triangulator.complete_tracks()
     mapper.triangulator.merge_tracks()
     mapper.triangulator.retriangulate()
+    if _PROFILE:
+        log.info(
+            f"profile global pre-tri: {_time.perf_counter() - t0:.2f}s"
+        )
     for _ in range(options.ba_global_max_refinements):
+        t1 = _time.perf_counter()
         summary = mapper.adjust_global_bundle(
             options.get_mapper(), options.get_global_ba()
         )
         if summary is None:
             break
+        t2 = _time.perf_counter()
         mapper.triangulator.clear_cache()
         mapper.triangulator.complete_tracks()
         mapper.triangulator.merge_tracks()
         mapper.filter_points(options.get_mapper())
+        if _PROFILE:
+            log.info(
+                f"profile global round: ba {t2 - t1:.2f}s "
+                f"tri+filter {_time.perf_counter() - t2:.2f}s "
+                f"(it={summary.num_iterations})"
+            )
         if summary.initial_cost <= 0:
             break
         change = abs(summary.final_cost - summary.initial_cost) / max(

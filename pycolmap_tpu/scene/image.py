@@ -27,6 +27,7 @@ class Image:
         "_p3d_ids",
         "registered",
         "num_points3D",
+        "link_epoch",
     )
 
     def __init__(
@@ -47,6 +48,9 @@ class Image:
         self._p3d_ids = np.zeros((0,), dtype=np.uint64)
         self.registered = False
         self.num_points3D = 0
+        # bumped on every keypoint->point3D link change; lets the mapper's
+        # LinkIndex (sfm/link_index.py) refresh its flat lookup incrementally
+        self.link_epoch = 0
         if keypoints_xy is not None:
             self.set_keypoints(keypoints_xy)
         elif points2D is not None:
@@ -58,6 +62,7 @@ class Image:
         self._xy = xy.copy()
         self._p3d_ids = np.full(len(xy), INVALID_POINT3D_ID, dtype=np.uint64)
         self.num_points3D = 0
+        self.link_epoch += 1
 
     @property
     def points2D_xy(self) -> np.ndarray:
@@ -78,6 +83,7 @@ class Image:
             [p.point3D_id for p in pts], dtype=np.uint64
         ).reshape(-1)
         self.num_points3D = int(np.sum(self._p3d_ids != INVALID_POINT3D_ID))
+        self.link_epoch += 1
 
     def point2D(self, idx: int) -> Point2D:
         return Point2D(self._xy[idx], int(self._p3d_ids[idx]))
@@ -91,11 +97,13 @@ class Image:
         if self._p3d_ids[point2D_idx] == INVALID_POINT3D_ID:
             self.num_points3D += 1
         self._p3d_ids[point2D_idx] = point3D_id
+        self.link_epoch += 1
 
     def reset_point3D_for_point2D(self, point2D_idx: int):
         if self._p3d_ids[point2D_idx] != INVALID_POINT3D_ID:
             self.num_points3D -= 1
         self._p3d_ids[point2D_idx] = INVALID_POINT3D_ID
+        self.link_epoch += 1
 
     def has_point3D(self, point3D_id: int) -> bool:
         return bool(np.any(self._p3d_ids == np.uint64(point3D_id)))

@@ -229,74 +229,109 @@ class Reconstruction:
             return 0.0
         return self.compute_num_observations() / n
 
-    def _all_observations(self, point3D_ids=None):
-        """Flatten (a subset of) observations into arrays for batched
-        reprojection.
+    def _point_table(self):
+        """(sorted pid array [P], xyz table [P, 3]) for vectorized lookups."""
+        P = len(self.points3D)
+        pid_arr = np.fromiter(self.points3D.keys(), dtype=np.int64, count=P)
+        if P == 0:
+            return pid_arr, np.zeros((0, 3))
+        xyz_arr = np.stack([pt.xyz for pt in self.points3D.values()])
+        order = np.argsort(pid_arr)
+        return pid_arr[order], xyz_arr[order]
 
-        Returns (point3D_ids, xyz [M,3], image_ids, xy [M,2]) per observation.
+    def _all_observations(self, point3D_ids=None):
+        """Flatten (a subset of) observations into arrays, image-major.
+
+        Vectorized: one numpy pass per registered image (no per-observation
+        python loop — that loop dominated local-BA filtering wall time).
+        Returns (point3D_ids, xyz [M,3], image_ids, xy [M,2], point2D_idxs).
         """
-        pids, xyzs, iids, xys = [], [], [], []
-        if point3D_ids is None:
-            items = self.points3D.items()
-        else:
-            items = (
-                (pid, self.points3D[pid])
-                for pid in point3D_ids
-                if pid in self.points3D
-            )
-        for pid, pt in items:
-            for el in pt.track.elements:
-                img = self.images.get(el.image_id)
-                if img is None:
+        pid_table, xyz_table = self._point_table()
+        sel = None
+        if point3D_ids is not None:
+            sel = np.fromiter(point3D_ids, dtype=np.int64)
+        pids_l, xyz_l, iids_l, xy_l, p2d_l = [], [], [], [], []
+        for iid, img in self.images.items():
+            if not img.registered:
+                continue
+            idxs = img.get_observation_points2D_idxs()
+            if len(idxs) == 0:
+                continue
+            pids_i = img.points2D_point3D_ids[idxs].view(np.int64)
+            if sel is not None:
+                keep = np.isin(pids_i, sel)
+                if not keep.any():
                     continue
-                pids.append(pid)
-                xyzs.append(pt.xyz)
-                iids.append(el.image_id)
-                xys.append(img.points2D_xy[el.point2D_idx])
-        if not pids:
+                idxs = idxs[keep]
+                pids_i = pids_i[keep]
+            rows = np.searchsorted(pid_table, pids_i)
+            # defensive: drop stale links (pid no longer in points3D)
+            rows_safe = np.minimum(rows, max(len(pid_table) - 1, 0))
+            ok = (
+                (len(pid_table) > 0)
+                & (rows < len(pid_table))
+                & (pid_table[rows_safe] == pids_i)
+            )
+            if not np.all(ok):
+                idxs = idxs[ok]
+                pids_i = pids_i[ok]
+                rows_safe = rows_safe[ok]
+            pids_l.append(pids_i)
+            xyz_l.append(xyz_table[rows_safe])
+            iids_l.append(np.full(len(idxs), iid, dtype=np.int64))
+            xy_l.append(img.points2D_xy[idxs])
+            p2d_l.append(idxs.astype(np.int64))
+        if not pids_l:
             return (
                 np.zeros(0, dtype=np.int64),
                 np.zeros((0, 3)),
                 np.zeros(0, dtype=np.int64),
                 np.zeros((0, 2)),
+                np.zeros(0, dtype=np.int64),
             )
         return (
-            np.asarray(pids, dtype=np.int64),
-            np.asarray(xyzs),
-            np.asarray(iids, dtype=np.int64),
-            np.asarray(xys),
+            np.concatenate(pids_l),
+            np.concatenate(xyz_l),
+            np.concatenate(iids_l),
+            np.concatenate(xy_l),
+            np.concatenate(p2d_l),
         )
 
+    def _reproj_errors_full(self, point3D_ids=None):
+        """Per-observation reprojection errors, image-major vectorized.
+
+        Returns (pids, iids, p2ds, errors, depths) arrays of length M.
+        """
+        pids, xyz, iids, xy, p2ds = self._all_observations(point3D_ids)
+        M = len(pids)
+        errors = np.zeros(M)
+        depths = np.zeros(M)
+        if M == 0:
+            return pids, iids, p2ds, errors, depths
+        # observations are image-contiguous: one projection batch per image
+        bounds = np.nonzero(np.diff(iids, prepend=iids[0] - 1))[0]
+        bounds = np.append(bounds, M)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            img = self.images[int(iids[s])]
+            cam = self.cameras[img.camera_id]
+            R_t = img.cam_from_world.matrix()
+            p_cam = xyz[s:e] @ R_t[:, :3].T + R_t[:, 3]
+            z = p_cam[:, 2]
+            uv = p_cam[:, :2] / np.where(
+                np.abs(z[:, None]) < 1e-12, 1e-12, z[:, None]
+            )
+            proj = cam.img_from_cam(uv)
+            err = np.linalg.norm(proj - xy[s:e], axis=1)
+            errors[s:e] = np.where(z > 0, err, np.inf)
+            depths[s:e] = z
+        return pids, iids, p2ds, errors, depths
+
     def compute_reprojection_errors(self, point3D_ids=None):
-        """Per-observation reprojection errors, batched by camera model.
+        """Per-observation reprojection errors.
 
         Returns (point3D_ids, image_ids, errors, depths) arrays of length M.
         """
-        pids, xyz, iids, xy = self._all_observations(point3D_ids)
-        if len(pids) == 0:
-            return pids, iids, np.zeros(0), np.zeros(0)
-        # world -> camera, vectorized per image via 3x4 matrices
-        mats = {i: img.cam_from_world.matrix() for i, img in self.images.items()}
-        errors = np.zeros(len(pids))
-        depths = np.zeros(len(pids))
-        # group observations by (camera_id) to batch the projection kernel
-        cam_of_image = {i: img.camera_id for i, img in self.images.items()}
-        by_cam = defaultdict(list)
-        for k, iid in enumerate(iids):
-            by_cam[cam_of_image[int(iid)]].append(k)
-        for cam_id, idxs in by_cam.items():
-            idxs = np.asarray(idxs)
-            cam = self.cameras[cam_id]
-            R_t = np.stack([mats[int(iids[k])] for k in idxs])  # [m,3,4]
-            Xh = np.concatenate([xyz[idxs], np.ones((len(idxs), 1))], axis=1)
-            p_cam = np.einsum("mij,mj->mi", R_t, Xh)
-            z = p_cam[:, 2]
-            uv = p_cam[:, :2] / np.where(np.abs(z[:, None]) < 1e-12, 1e-12, z[:, None])
-            proj = cam.img_from_cam(uv)
-            err = np.linalg.norm(proj - xy[idxs], axis=1)
-            err = np.where(z > 0, err, np.inf)
-            errors[idxs] = err
-            depths[idxs] = z
+        pids, iids, _, errors, depths = self._reproj_errors_full(point3D_ids)
         return pids, iids, errors, depths
 
     def compute_mean_reprojection_error(self) -> float:
@@ -307,15 +342,21 @@ class Reconstruction:
     def update_point_errors(self):
         """Recompute and store per-point mean reprojection error."""
         pids, _, errors, _ = self.compute_reprojection_errors()
-        sums = defaultdict(float)
-        counts = defaultdict(int)
-        for pid, e in zip(pids, errors):
-            if np.isfinite(e):
-                sums[int(pid)] += e
-                counts[int(pid)] += 1
-        for pid, pt in self.points3D.items():
-            if counts.get(pid):
-                pt.error = sums[pid] / counts[pid]
+        finite = np.isfinite(errors)
+        pids = pids[finite]
+        errors = errors[finite]
+        if len(pids) == 0:
+            return
+        order = np.argsort(pids, kind="stable")
+        spids = pids[order]
+        serrs = errors[order]
+        starts = np.nonzero(np.diff(spids, prepend=spids[0] - 1))[0]
+        counts = np.diff(np.append(starts, len(spids)))
+        means = np.add.reduceat(serrs, starts) / counts
+        for pid, m in zip(spids[starts].tolist(), means.tolist()):
+            pt = self.points3D.get(pid)
+            if pt is not None:
+                pt.error = m
 
     def summary(self) -> str:
         return (
@@ -346,82 +387,90 @@ class Reconstruction:
         point3D_ids=None,
     ) -> int:
         """Drop observations with high reprojection error or negative depth and
-        points with small maximum triangulation angle. Returns #filtered obs."""
-        selected = set(point3D_ids) if point3D_ids is not None else None
-        pids, iids, errors, depths = self.compute_reprojection_errors(selected)
+        points with small maximum triangulation angle. Returns #filtered obs.
+
+        Fully vectorized (segment reductions over the sorted observation
+        table); only the final deletions mutate scene objects."""
         num_filtered = 0
-        # 1) per-observation error / cheirality test
-        obs_by_pid = defaultdict(list)
-        for k in range(len(pids)):
-            obs_by_pid[int(pids[k])].append(k)
-        for pid, ks in obs_by_pid.items():
-            if selected is not None and pid not in selected:
-                continue
+        pids, iids, p2ds, errors, depths = self._reproj_errors_full(point3D_ids)
+        if len(pids):
+            # 1) per-observation error / cheirality test
+            bad = (~np.isfinite(errors)) | (errors > max_reproj_error) | (
+                depths <= 0
+            )
+            order = np.argsort(pids, kind="stable")
+            spids = pids[order]
+            sbad = bad[order]
+            starts = np.nonzero(np.diff(spids, prepend=spids[0] - 1))[0]
+            counts = np.diff(np.append(starts, len(spids)))
+            bad_counts = np.add.reduceat(sbad.astype(np.int64), starts)
+            kill_point = counts - bad_counts < 2
+            upids = spids[starts]
+            for pid, cnt in zip(
+                upids[kill_point].tolist(), counts[kill_point].tolist()
+            ):
+                if pid in self.points3D:
+                    num_filtered += cnt
+                    self.delete_point3D(pid)
+            # individual bad observations on surviving points
+            kill_obs = np.repeat(kill_point, counts)
+            for k in order[sbad & ~kill_obs].tolist():
+                if int(pids[k]) in self.points3D:
+                    self.delete_observation(int(iids[k]), int(p2ds[k]))
+                    num_filtered += 1
+        # 2) triangulation-angle test (padded [P, T] pairwise-angle batch)
+        min_cos = np.cos(np.deg2rad(min_tri_angle_deg))
+        pids, xyz, iids, _, _ = self._all_observations(point3D_ids)
+        if len(pids) == 0:
+            return num_filtered
+        reg_ids = self.reg_image_ids
+        if not reg_ids:
+            return num_filtered
+        max_iid = max(reg_ids)
+        centers = np.zeros((max_iid + 1, 3))
+        for i in reg_ids:
+            centers[i] = self.images[i].projection_center()
+        rays = centers[iids] - xyz
+        norms = np.linalg.norm(rays, axis=1)
+        unit = rays / np.maximum(norms, 1e-12)[:, None]
+        order = np.argsort(pids, kind="stable")
+        spids = pids[order]
+        sunit = unit[order]
+        svalid = (norms[order] > 1e-12).astype(np.float64)
+        starts = np.nonzero(np.diff(spids, prepend=spids[0] - 1))[0]
+        counts = np.diff(np.append(starts, len(spids)))
+        P = len(starts)
+        T = int(min(counts.max(), 256))  # truncate absurdly long tracks
+        rowidx = np.repeat(np.arange(P), counts)
+        colidx = np.arange(len(spids)) - np.repeat(starts, counts)
+        keep = colidx < T
+        grid = np.zeros((P, T, 3))
+        gmask = np.zeros((P, T))
+        grid[rowidx[keep], colidx[keep]] = sunit[keep]
+        gmask[rowidx[keep], colidx[keep]] = svalid[keep]
+        cosang = np.einsum("pti,psi->pts", grid, grid)
+        pair_ok = (gmask[:, :, None] * gmask[:, None, :]) > 0
+        diag = np.arange(T)
+        pair_ok[:, diag, diag] = False
+        # a point passes iff some valid pair has angle >= threshold
+        wide = np.any(pair_ok & (np.clip(cosang, -1, 1) <= min_cos), axis=(1, 2))
+        enough = gmask.sum(axis=1) >= 2
+        kill = enough & ~wide
+        upids = spids[starts]
+        for pid in upids[kill].tolist():
             pt = self.points3D.get(pid)
-            if pt is None:
-                continue
-            bad = [
-                k
-                for k in ks
-                if (not np.isfinite(errors[k]))
-                or errors[k] > max_reproj_error
-                or depths[k] <= 0
-            ]
-            if len(ks) - len(bad) < 2:
-                num_filtered += len(ks)
-                self.delete_point3D(pid)
-                continue
-            for k in bad:
-                el_img = int(iids[k])
-                # find this element's point2D idx in the track
-                for el in list(pt.track.elements):
-                    if el.image_id == el_img:
-                        xy_obs = self.images[el_img].points2D_xy[el.point2D_idx]
-                        self.delete_observation(el_img, el.point2D_idx)
-                        num_filtered += 1
-                        break
-        # 2) triangulation-angle test
-        min_angle = np.deg2rad(min_tri_angle_deg)
-        centers = {
-            i: self.images[i].projection_center() for i in self.reg_image_ids
-        }
-        for pid in list(self.points3D.keys()):
-            if selected is not None and pid not in selected:
-                continue
-            pt = self.points3D[pid]
-            cs = [
-                centers[el.image_id]
-                for el in pt.track.elements
-                if el.image_id in centers
-            ]
-            if len(cs) < 2:
-                continue
-            rays = np.asarray(cs) - pt.xyz[None, :]
-            norms = np.linalg.norm(rays, axis=1)
-            ok = norms > 1e-12
-            if ok.sum() < 2:
-                continue
-            unit = rays[ok] / norms[ok, None]
-            cosang = np.clip(unit @ unit.T, -1, 1)
-            max_angle = float(np.arccos(cosang).max())
-            if max_angle < min_angle:
+            if pt is not None:
                 num_filtered += pt.track.length()
                 self.delete_point3D(pid)
         return num_filtered
 
     def filter_observations_with_negative_depth(self) -> int:
-        pids, iids, errors, depths = self.compute_reprojection_errors()
+        pids, iids, p2ds, errors, depths = self._reproj_errors_full()
         num = 0
         for k in np.nonzero(depths <= 0)[0]:
-            pid = int(pids[k])
-            pt = self.points3D.get(pid)
-            if pt is None:
-                continue
-            for el in list(pt.track.elements):
-                if el.image_id == int(iids[k]):
-                    self.delete_observation(el.image_id, el.point2D_idx)
-                    num += 1
-                    break
+            if int(pids[k]) in self.points3D:
+                self.delete_observation(int(iids[k]), int(p2ds[k]))
+                num += 1
         return num
 
     # ------------------------------------------------------------------

@@ -126,12 +126,10 @@ def bucketize(problem: BundleProblem):
         pts[:, :n_sel] = points[sel].T
         pfree[:n_sel] = point_free[sel]
         rows[:n_sel] = sel
+        # numpy (host) arrays: the jitted solver call transfers them in one
+        # batch; eager per-array jnp.asarray costs a dispatch each
         buckets.append(
-            Bucket(
-                jnp.asarray(img_idx), jnp.asarray(cam_idx), jnp.asarray(xy),
-                jnp.asarray(mask), jnp.asarray(pts), jnp.asarray(pfree),
-                jnp.asarray(rows),
-            )
+            Bucket(img_idx, cam_idx, xy, mask, pts, pfree, rows)
         )
     return tuple(buckets)
 
@@ -624,26 +622,34 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
         return problem, BASummary(0.0, 0.0, 0, 0)
     if mesh is not None:
         buckets = _shard_buckets(buckets, mesh)
-    # pad camera-block counts to powers of two (dummy rows are fully fixed)
+    # pad camera-block counts to powers of two (dummy rows are fully fixed);
+    # all host-side numpy — the jit call transfers everything in one batch
     I, C = problem.num_images, problem.num_cameras
     I_pad = _pad_pow2(I, 4)
     C_pad = _pad_pow2(C, 1)
-    cam_quat = jnp.concatenate(
-        [problem.cam_quat,
-         jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (I_pad - I, 1))]
-    ) if I_pad > I else problem.cam_quat
-    cam_trans = jnp.concatenate(
-        [problem.cam_trans, jnp.zeros((I_pad - I, 3), jnp.float32)]
-    ) if I_pad > I else problem.cam_trans
-    pose_free = jnp.concatenate(
-        [problem.pose_free, jnp.zeros((I_pad - I, 6), jnp.float32)]
-    ) if I_pad > I else problem.pose_free
-    intrinsics = jnp.concatenate(
-        [problem.intrinsics, jnp.ones((C_pad - C, problem.intrinsics.shape[1]), jnp.float32)]
-    ) if C_pad > C else problem.intrinsics
-    intr_free = jnp.concatenate(
-        [problem.intr_free, jnp.zeros((C_pad - C, problem.intr_free.shape[1]), jnp.float32)]
-    ) if C_pad > C else problem.intr_free
+    cam_quat = np.asarray(problem.cam_quat, np.float32)
+    cam_trans = np.asarray(problem.cam_trans, np.float32)
+    pose_free = np.asarray(problem.pose_free, np.float32)
+    intrinsics = np.asarray(problem.intrinsics, np.float32)
+    intr_free = np.asarray(problem.intr_free, np.float32)
+    if I_pad > I:
+        cam_quat = np.concatenate(
+            [cam_quat,
+             np.tile(np.array([[1.0, 0, 0, 0]], np.float32), (I_pad - I, 1))]
+        )
+        cam_trans = np.concatenate(
+            [cam_trans, np.zeros((I_pad - I, 3), np.float32)]
+        )
+        pose_free = np.concatenate(
+            [pose_free, np.zeros((I_pad - I, 6), np.float32)]
+        )
+    if C_pad > C:
+        intrinsics = np.concatenate(
+            [intrinsics, np.ones((C_pad - C, intrinsics.shape[1]), np.float32)]
+        )
+        intr_free = np.concatenate(
+            [intr_free, np.zeros((C_pad - C, intr_free.shape[1]), np.float32)]
+        )
 
     quat, trans, intr, pts_list, cost0, cost, it = _solve_bucketed_jit(
         buckets,
@@ -653,6 +659,11 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
         int(options.loss_function_type),
         jnp.float32(options.loss_function_scale),
         cg_iters, int(options.max_num_iterations),
+    )
+    # one batched D2H transfer for all results (per-array np.asarray would
+    # cost a round-trip each)
+    quat, trans, intr, pts_list, cost0, cost, it = jax.device_get(
+        (quat, trans, intr, pts_list, cost0, cost, it)
     )
     quat = quat[:I]
     trans = trans[:I]

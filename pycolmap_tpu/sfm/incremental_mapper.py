@@ -91,11 +91,13 @@ class VisibilityPyramid:
         if len(xys) == 0:
             return 0
         s = 0
+        # cell codes at the finest level; coarser levels are right-shifts,
+        # so one sort-free np.unique per level over int codes
         for level in range(1, self.LEVELS + 1):
             n = 1 << level
-            cx = np.clip((xys[:, 0] / self.width * n).astype(int), 0, n - 1)
-            cy = np.clip((xys[:, 1] / self.height * n).astype(int), 0, n - 1)
-            occupied = len(set(zip(cx.tolist(), cy.tolist())))
+            cx = np.clip((xys[:, 0] / self.width * n).astype(np.int64), 0, n - 1)
+            cy = np.clip((xys[:, 1] / self.height * n).astype(np.int64), 0, n - 1)
+            occupied = len(np.unique(cx * n + cy))
             s += occupied * (1 << (2 * level))
         return s
 
@@ -108,6 +110,7 @@ class IncrementalMapper:
         self.cache = database_cache
         self.reconstruction = None
         self.triangulator = None
+        self.link_index = None
         self.num_reg_trials = defaultdict(int)
         # registrations per image across ALL models (upstream
         # num_registrations_): bounds model overlap and keeps new models
@@ -119,11 +122,17 @@ class IncrementalMapper:
 
     # -- lifecycle -----------------------------------------------------------
     def begin_reconstruction(self, reconstruction, triangulator_options=None):
+        from pycolmap_tpu.sfm.link_index import LinkIndex
+
         self.reconstruction = reconstruction
+        self.link_index = LinkIndex(
+            self.cache.correspondence_graph, reconstruction
+        )
         self.triangulator = IncrementalTriangulator(
             self.cache.correspondence_graph,
             reconstruction,
             triangulator_options or IncrementalTriangulatorOptions(),
+            link_index=self.link_index,
         )
         self.existing_image_ids = set(reconstruction.reg_image_ids)
 
@@ -134,6 +143,7 @@ class IncrementalMapper:
                     self.reconstruction.deregister_image(iid)
         self.reconstruction = None
         self.triangulator = None
+        self.link_index = None
 
     # -- initialization ------------------------------------------------------
     def find_initial_image_pair(self, options: IncrementalMapperOptions):
@@ -282,28 +292,18 @@ class IncrementalMapper:
     # -- vectorized correspondence lookups -----------------------------------
     def _linked_pids_for_image(self, image_id):
         """For every correspondence edge of the image: the linked point3D id
-        (or INVALID). Vectorized over the whole image via the CSR slice.
+        (-1 = none / unregistered target). Two gathers into the LinkIndex
+        flat arrays — no per-registered-image passes.
 
-        Returns (local_indptr [n+1], corr_imgs [E], corr_idxs [E],
-        corr_pid [E] int64 with -1 = none, corr_reg [E] bool).
+        Returns (local_indptr [n+1], corr_pid [E] int64 with -1 = none).
         """
-        rec = self.reconstruction
-        graph = self.cache.correspondence_graph
-        indptr, cimgs, cidxs = graph.image_correspondences(image_id)
-        E = len(cimgs)
-        pid = np.full(E, -1, dtype=np.int64)
-        reg = np.zeros(E, dtype=bool)
-        for riid in rec.reg_image_ids:
-            m = cimgs == riid
-            if not m.any():
-                continue
-            reg[m] = True
-            pids = rec.images[riid].points2D_point3D_ids[cidxs[m]]
-            linked = pids != np.uint64(INVALID_POINT3D_ID)
-            vals = np.full(m.sum(), -1, dtype=np.int64)
-            vals[linked] = pids[linked].astype(np.int64)
-            pid[m] = vals
-        return indptr, cimgs, cidxs, pid, reg
+        img = self.reconstruction.images[image_id]
+        lix = self.link_index
+        flat_pid, reg_flag = lix.refresh()
+        li, nodes = lix.image_edges(image_id, img.num_points2D)
+        pid = flat_pid[nodes]
+        reg = reg_flag[lix.node_image[nodes]]
+        return li, np.where(reg, pid, -1)
 
     @staticmethod
     def _segment_any(values, indptr):
@@ -326,7 +326,7 @@ class IncrementalMapper:
                 continue
             if img.num_points2D == 0:
                 continue
-            indptr, _, _, pid, _ = self._linked_pids_for_image(iid)
+            indptr, pid = self._linked_pids_for_image(iid)
             per_kp_vis = self._segment_any(pid >= 0, indptr)
             nvis = int(per_kp_vis.sum())
             if nvis < options.abs_pose_min_num_inliers:
@@ -356,7 +356,7 @@ class IncrementalMapper:
         self.num_reg_trials[image_id] += 1
 
         # gather 2D-3D correspondences (vectorized over the CSR slice)
-        indptr, _, _, pid_edges, _ = self._linked_pids_for_image(image_id)
+        indptr, pid_edges = self._linked_pids_for_image(image_id)
         if len(pid_edges):
             # first linked pid per keypoint: min edge index among linked ones
             edge_pos = np.where(pid_edges >= 0, np.arange(len(pid_edges)), 1 << 62)
@@ -368,13 +368,18 @@ class IncrementalMapper:
             has = np.zeros(img.num_points2D, dtype=bool)
             first = np.zeros(img.num_points2D, dtype=np.int64)
         kp_idx = np.nonzero(has)[0]
-        pids = [int(pid_edges[first[k]]) for k in kp_idx]
-        # a point may have been deleted since the link array was built
-        keep = [i for i, p in enumerate(pids) if p in rec.points3D]
-        kp_idx = [int(kp_idx[i]) for i in keep]
-        pids = [pids[i] for i in keep]
-        pts2D = [img.points2D_xy[k] for k in kp_idx]
-        pts3D = [rec.points3D[p].xyz for p in pids]
+        pids = pid_edges[first[kp_idx]].tolist()
+        pts3D_list, keep = [], []
+        for i, p in enumerate(pids):
+            pt = rec.points3D.get(p)
+            if pt is not None:  # defensive: stale link
+                keep.append(i)
+                pts3D_list.append(pt.xyz)
+        if len(keep) < len(pids):
+            kp_idx = kp_idx[keep]
+            pids = [pids[i] for i in keep]
+        pts2D = img.points2D_xy[kp_idx]
+        pts3D = np.array(pts3D_list, dtype=np.float64).reshape(-1, 3)
         if len(pts2D) < options.abs_pose_min_num_inliers:
             return False
 
@@ -438,6 +443,11 @@ class IncrementalMapper:
         image_id, point3D_ids=None,
     ):
         """Local BA on the window around image_id (upstream AdjustLocalBundle)."""
+        import os
+        import time as _time
+
+        _prof = os.environ.get("PYCOLMAP_TPU_PROFILE") == "1"
+        _t0 = _time.perf_counter()
         rec = self.reconstruction
         local = self._local_bundle_images(options, image_id)
         # gauge: fix the most-connected older image(s) outside pose freedom
@@ -451,12 +461,15 @@ class IncrementalMapper:
             constant = [local[-1]]
         if options.fix_existing_images:
             constant += [i for i in local if i in self.existing_image_ids]
+        _t1 = _time.perf_counter()
         problem, mapping = build_bundle_problem(
             rec, ba_options, image_ids=local, constant_pose_ids=constant,
         )
         if problem.num_obs < 6:
             return None
+        _t2 = _time.perf_counter()
         new_problem, summary = solve_bundle(problem, ba_options)
+        _t3 = _time.perf_counter()
         apply_bundle_solution(rec, new_problem, mapping)
         # filter points touched by the local bundle
         touched = set()
@@ -468,6 +481,16 @@ class IncrementalMapper:
             options.filter_max_reproj_error, options.filter_min_tri_angle,
             point3D_ids=touched,
         )
+        if _prof:
+            _t4 = _time.perf_counter()
+            from pycolmap_tpu.utils import logging as _logging
+
+            _logging.get_logger().info(
+                f"profile local_ba detail: window {_t1 - _t0:.3f}s "
+                f"build {_t2 - _t1:.3f}s solve {_t3 - _t2:.3f}s "
+                f"apply+filter {_t4 - _t3:.3f}s "
+                f"({problem.num_obs} obs, {len(local)} imgs, it={summary.num_iterations})"
+            )
         return summary
 
     def adjust_global_bundle(self, options, ba_options: BundleAdjustmentOptions):

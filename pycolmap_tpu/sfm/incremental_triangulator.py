@@ -98,10 +98,16 @@ class IncrementalTriangulator:
     """Operates on a Reconstruction + CorrespondenceGraph (ref object API)."""
 
     def __init__(self, correspondence_graph, reconstruction,
-                 options: IncrementalTriangulatorOptions = None):
+                 options: IncrementalTriangulatorOptions = None,
+                 link_index=None):
         self.graph = correspondence_graph
         self.reconstruction = reconstruction
         self.options = options if options is not None else IncrementalTriangulatorOptions()
+        if link_index is None:
+            from pycolmap_tpu.sfm.link_index import LinkIndex
+
+            link_index = LinkIndex(correspondence_graph, reconstruction)
+        self.link_index = link_index
         self._cam_cache = {}
         self._merge_trials = defaultdict(int)
         self._re_num_trials = defaultdict(int)
@@ -152,21 +158,15 @@ class IncrementalTriangulator:
         continue_obs = []  # (point2D_idx, first_pid, all_pids)
         create_cands = []  # (point2D_idx, [(image_id2, point2D_idx2), ...])
         p3d_ids = img.points2D_point3D_ids
-        indptr, cimgs, cidxs = self.graph.image_correspondences(image_id)
+        lix = self.link_index
+        flat_pid, reg_flag = lix.refresh()
+        indptr, nodes = lix.image_edges(image_id, img.num_points2D)
+        cimgs = lix.node_image[nodes]
+        cidxs = lix.node_idx[nodes]
         E = len(cimgs)
         if E:
-            pid_edges = np.full(E, -1, dtype=np.int64)
-            reg_edges = np.zeros(E, dtype=bool)
-            for riid in rec.reg_image_ids:
-                m = cimgs == riid
-                if not m.any():
-                    continue
-                reg_edges[m] = True
-                pids_r = rec.images[riid].points2D_point3D_ids[cidxs[m]]
-                linked = pids_r != np.uint64(INVALID_POINT3D_ID)
-                vals = np.full(m.sum(), -1, dtype=np.int64)
-                vals[linked] = pids_r[linked].astype(np.int64)
-                pid_edges[m] = vals
+            reg_edges = reg_flag[cimgs]
+            pid_edges = np.where(reg_edges, flat_pid[nodes], -1)
             cs_link = np.concatenate([[0], np.cumsum(pid_edges >= 0)])
             cs_reg = np.concatenate([[0], np.cumsum(reg_edges)])
             for idx in range(img.num_points2D):

@@ -153,24 +153,23 @@ def build_bundle_problem(
         if pid in point_index:
             point_free[point_index[pid]] = 0.0
 
+    # numpy end-to-end: the fast path (ba_kernels.bucketize) consumes host
+    # arrays, and each eager jnp.asarray is a separate device transfer
+    # (~10-25 ms each on remote backends — they dominated local-BA setup)
     problem = BundleProblem(
-        cam_quat=jnp.asarray(cam_quat),
-        cam_trans=jnp.asarray(cam_trans),
-        intrinsics=jnp.asarray(intrinsics),
-        points=jnp.asarray(points),
+        cam_quat=cam_quat,
+        cam_trans=cam_trans,
+        intrinsics=intrinsics,
+        points=points,
         model_id=model_id,
-        obs_image_idx=jnp.asarray(
-            np.asarray(obs_image, dtype=np.int32).reshape(-1)
-        ),
-        obs_camera_idx=jnp.asarray(np.asarray(obs_cam, dtype=np.int32).reshape(-1)),
-        obs_point_idx=jnp.asarray(np.asarray(obs_point, dtype=np.int32).reshape(-1)),
-        obs_xy=jnp.asarray(
-            np.asarray(obs_xy, dtype=np.float32).reshape(-1, 2)
-        ),
-        obs_mask=jnp.ones(num_m, dtype=jnp.float32),
-        pose_free=jnp.asarray(pose_free),
-        intr_free=jnp.asarray(intr_free),
-        point_free=jnp.asarray(point_free),
+        obs_image_idx=np.asarray(obs_image, dtype=np.int32).reshape(-1),
+        obs_camera_idx=np.asarray(obs_cam, dtype=np.int32).reshape(-1),
+        obs_point_idx=np.asarray(obs_point, dtype=np.int32).reshape(-1),
+        obs_xy=np.asarray(obs_xy, dtype=np.float32).reshape(-1, 2),
+        obs_mask=np.ones(num_m, dtype=np.float32),
+        pose_free=pose_free,
+        intr_free=intr_free,
+        point_free=point_free,
     )
     mapping = ProblemMapping(image_ids, camera_ids, point_ids)
     return problem, mapping

@@ -73,6 +73,9 @@ _engine = BatchedLORANSAC(
     residual_fn=_reproj_batched,
     sample_size=3,
     refit_solver=_refit_pnp,
+    # one chunk covers the default min_num_trials=1000: registration then
+    # costs a single device round trip instead of two
+    chunk_size=1024,
 )
 
 
@@ -148,13 +151,13 @@ def refine_pose_normalized(quat, trans, x_norm, X, inlier_mask, loss_scale=1.0):
     xp[:n] = x_norm
     Xp[:n] = X
     wp[:n] = np.asarray(inlier_mask, dtype=np.float32)
-    q, t = _refine_pose_lm(
-        jnp.asarray(quat, jnp.float32),
-        jnp.asarray(trans, jnp.float32),
-        jnp.asarray(xp),
-        jnp.asarray(Xp),
-        jnp.asarray(wp),
-        jnp.float32(loss_scale),
+    q, t = jax.device_get(
+        _refine_pose_lm(
+            np.asarray(quat, np.float32),
+            np.asarray(trans, np.float32),
+            xp, Xp, wp,
+            np.float32(loss_scale),
+        )
     )
     return np.asarray(q, dtype=np.float64), np.asarray(t, dtype=np.float64)
 

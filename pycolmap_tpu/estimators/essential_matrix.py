@@ -4,10 +4,10 @@ Pipeline mirrors the reference (essential_matrix.h:25-93): normalize pixel
 points through the cameras, scale the pixel threshold to normalized units
 (:42-47), run LORANSAC, then recover the relative pose by cheirality (:77-83).
 
-TPU-native deviation: hypotheses come from batched 8-point samples projected
-onto the essential manifold instead of Nistér 5-point (see
-ops/solvers.essential_8pt docstring for the rationale); robustness is
-recovered through the much larger hypothesis batches the TPU affords.
+Minimal solver: batched Nistér 5-point (ops/solvers.essential_5pt — degree-10
+roots by tan-angle bisection, no nonsymmetric eig), matching the reference's
+sample complexity (essential_matrix.h:48-52); local optimization refits with
+the weighted 8-point-on-manifold solver.
 """
 
 from __future__ import annotations
@@ -22,9 +22,8 @@ from pycolmap_tpu.geometry import Rigid3d, Rotation3d
 from pycolmap_tpu.ops import epipolar, solvers
 
 
-def _minimal_8pt(idx, x1, x2):
-    E = solvers.essential_8pt(x1[idx], x2[idx])
-    return E[:, None], jnp.ones((E.shape[0], 1), dtype=bool)
+def _minimal_5pt(idx, x1, x2):
+    return solvers.essential_5pt(x1[idx], x2[idx])  # [K,10,3,3], [K,10]
 
 
 def _refit_8pt(weights, x1, x2):
@@ -33,10 +32,11 @@ def _refit_8pt(weights, x1, x2):
 
 
 _engine = BatchedLORANSAC(
-    minimal_solver=_minimal_8pt,
+    minimal_solver=_minimal_5pt,
     residual_fn=_sampson_batched,
-    sample_size=8,
+    sample_size=5,
     refit_solver=_refit_8pt,
+    chunk_size=128,  # x10 solutions per sample = 1280 hypotheses per chunk
 )
 
 _pose_from_essential_jit = jax.jit(epipolar.pose_from_essential)
@@ -58,11 +58,12 @@ def _pose_from_essential_padded(E, x1, x2, inlier_mask):
     x1p[:n] = x1
     x2p[:n] = x2
     maskp[:n] = inlier_mask
-    quat, trans, X, front = _pose_from_essential_jit(
-        jnp.asarray(E, dtype=jnp.float32), jnp.asarray(x1p), jnp.asarray(x2p),
-        jnp.asarray(maskp),
+    quat, trans, X, front = jax.device_get(
+        _pose_from_essential_jit(
+            np.asarray(E, dtype=np.float32), x1p, x2p, maskp
+        )
     )
-    return quat, trans, np.asarray(X)[:n], np.asarray(front)[:n]
+    return quat, trans, X[:n], front[:n]
 
 
 def estimate_essential_matrix(

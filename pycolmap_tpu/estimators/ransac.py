@@ -230,9 +230,11 @@ class BatchedLORANSAC:
                 [a, np.zeros((n_pad - n,) + a.shape[1:], dtype=a.dtype)]
             )
 
-        data = tuple(jnp.asarray(pad_rows(d)) for d in data)
-        valid_mask = jnp.asarray(valid_np)
-        max_error_sq = jnp.float32(options.max_error**2)
+        # keep data host-side: the jitted chunk transfers all args in one
+        # batch; eager jnp.asarray costs one dispatch per array
+        data = tuple(pad_rows(d) for d in data)
+        valid_mask = valid_np
+        max_error_sq = np.float32(options.max_error**2)
 
         key = jax.random.PRNGKey(seed)
         best = None  # (num_inliers, capped, model, residuals)
@@ -250,8 +252,9 @@ class BatchedLORANSAC:
         )
         while trials < max_trials:
             key, sub = jax.random.split(key)
-            model, num_inl, capped, residuals = self._chunk_jit(
-                sub, max_error_sq, valid_mask, *data
+            # one round trip: fetch every chunk output together
+            model, num_inl, capped, residuals = jax.device_get(
+                self._chunk_jit(sub, max_error_sq, valid_mask, *data)
             )
             num_inl = int(num_inl)
             capped_f = float(capped)
@@ -272,14 +275,14 @@ class BatchedLORANSAC:
         # -- local optimization: iterative weighted refit on inliers --------
         if self._refit_jit is not None:
             for _ in range(self.num_lo_iterations):
-                weights = jnp.asarray(
-                    (np.asarray(residuals) <= float(max_error_sq)) & (valid_np > 0),
-                    dtype=jnp.float32,
-                )
-                if int(np.asarray(weights).sum()) < self.sample_size:
+                weights = (
+                    (np.asarray(residuals) <= float(max_error_sq))
+                    & (valid_np > 0)
+                ).astype(np.float32)
+                if weights.sum() < self.sample_size:
                     break
-                r_model, r_inl, r_capped, r_residuals = self._refit_jit(
-                    weights, max_error_sq, valid_mask, *data
+                r_model, r_inl, r_capped, r_residuals = jax.device_get(
+                    self._refit_jit(weights, max_error_sq, valid_mask, *data)
                 )
                 if (int(r_inl), -float(r_capped)) > (num_inl, -capped_f):
                     num_inl, capped_f = int(r_inl), float(r_capped)

@@ -93,6 +93,65 @@ class TestEssential:
         assert np.abs(t_est - t_true).max() < 0.08
 
 
+class TestEssential5Point:
+    def test_minimal_recovers_gt(self):
+        """Noise-free 5-point samples: one of the 10 returned hypotheses is
+        the ground-truth essential matrix (ops/solvers.essential_5pt)."""
+        from pycolmap_tpu.ops import solvers
+
+        rng = np.random.default_rng(0)
+        hits = 0
+        for trial in range(10):
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            ang = rng.uniform(0.1, 0.6)
+            K_ = np.array(
+                [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                 [-axis[1], axis[0], 0]]
+            )
+            R = np.eye(3) + np.sin(ang) * K_ + (1 - np.cos(ang)) * K_ @ K_
+            t = rng.normal(size=3)
+            t /= np.linalg.norm(t)
+            E_gt = np.array(
+                [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]]
+            ) @ R
+            E_gt /= np.linalg.norm(E_gt)
+            X = rng.uniform(-1, 1, size=(5, 3)) + np.array([0, 0, 4.0])
+            x1 = X[:, :2] / X[:, 2:]
+            Xc2 = X @ R.T + t
+            x2 = Xc2[:, :2] / Xc2[:, 2:]
+            E, valid = solvers.essential_5pt(
+                jnp.asarray(x1[None], jnp.float32),
+                jnp.asarray(x2[None], jnp.float32),
+            )
+            E = np.asarray(E[0])
+            valid = np.asarray(valid[0])
+            best = min(
+                (
+                    min(
+                        np.abs(E[k] / np.linalg.norm(E[k]) - E_gt).max(),
+                        np.abs(E[k] / np.linalg.norm(E[k]) + E_gt).max(),
+                    )
+                    for k in range(10)
+                    if valid[k]
+                ),
+                default=np.inf,
+            )
+            if best < 1e-2:
+                hits += 1
+        assert hits >= 8, hits
+
+    def test_high_outlier_ratio(self):
+        """5-point sample complexity: converges at 60% outliers."""
+        cam, x1, x2, rel, gt = synth_two_view(outlier_ratio=0.6, seed=5)
+        res = estimate_essential_matrix(x1, x2, cam, cam)
+        assert res is not None
+        assert res["num_inliers"] > 0.8 * gt.sum()
+        pose = res["cam2_from_cam1"]
+        rot_err = np.rad2deg(pose.rotation.angle_to(rel.rotation))
+        assert rot_err < 1.5
+
+
 class TestHomography:
     def test_planar_scene(self):
         cam, x1, x2, rel, gt = synth_two_view(planar=True, outlier_ratio=0.3)

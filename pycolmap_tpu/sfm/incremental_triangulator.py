@@ -111,11 +111,10 @@ class IncrementalTriangulator:
         self._cam_cache = {}
         self._merge_trials = defaultdict(int)
         self._re_num_trials = defaultdict(int)
-        # memoization: skip complete/merge for points whose tracks have not
-        # changed since the last pass (the correspondence graph is static, so
-        # a point's completion candidates only change when its track does)
-        self._completed_at_len = {}
-        self._merged_at_len = {}
+        # memoization: skip merge re-tests for pairs whose track lengths are
+        # unchanged (the correspondence graph is static, so a pair's merge
+        # test can only change when one of its tracks does)
+        self._merge_tested = {}
 
     # -- helpers -------------------------------------------------------------
     def _camera_ok(self, camera) -> bool:
@@ -322,83 +321,248 @@ class IncrementalTriangulator:
 
     def merge_tracks(self, point3D_ids=None) -> int:
         """Merge pass over given (or all) points via shared correspondences
-        (upstream MergeAllTracks). Returns #merged observations."""
+        (upstream MergeAllTracks). Returns #merged observations.
+
+        Vectorized: candidate pairs come from one CSR expansion over the
+        LinkIndex (edges whose two endpoints link different points); the
+        merged-point reprojection test runs as one image-major batch over
+        all pairs' observations. Chained merges resolve across repeat
+        rounds (merged points get new ids and re-enter as candidates)."""
         rec = self.reconstruction
-        ids = list(point3D_ids) if point3D_ids is not None else list(rec.points3D)
+        opts = self.options
+        lix = self.link_index
+        thr = opts.merge_max_reproj_error
+        sel_set = None
+        if point3D_ids is not None:
+            sel_set = set(int(p) for p in point3D_ids)
+            if not sel_set:
+                return 0
         num = 0
-        for pid in ids:
-            pt = rec.points3D.get(pid)
-            if pt is None:
-                continue
-            if self._merged_at_len.get(pid) == pt.track.length():
-                continue
-            self._merged_at_len[pid] = pt.track.length()
-            # find linked points through correspondences of track keypoints
-            linked = set()
-            for el in pt.track.elements:
-                cimgs, cidxs = self.graph.find_correspondences_arrays(
-                    el.image_id, el.point2D_idx
-                )
-                for cimg, cidx in zip(cimgs, cidxs):
-                    other = rec.images.get(int(cimg))
-                    if other is None or not other.registered:
-                        continue
-                    opid = int(other.points2D_point3D_ids[int(cidx)])
-                    if opid != INVALID_POINT3D_ID and opid != pid:
-                        linked.add(opid)
-            for opid in linked:
-                if pid not in rec.points3D:
-                    break
-                merged = self._try_merge(pid, opid)
-                if merged is not None:
-                    num += rec.points3D[merged].track.length()
-                    pid = merged
+        for _round in range(64):  # chained-merge rounds; exits when stable
+            pairs = self._merge_candidate_pairs(sel_set)
+            if len(pairs) == 0:
+                break
+            ok_pairs = self._batched_merge_test(pairs, thr)
+            applied = 0
+            for a, b in ok_pairs:
+                if a in rec.points3D and b in rec.points3D:
+                    new_id = rec.merge_points3D(a, b)
+                    num += rec.points3D[new_id].track.length()
+                    if sel_set is not None:
+                        sel_set.discard(a)
+                        sel_set.discard(b)
+                        sel_set.add(new_id)
+                    applied += 1
+            if applied == 0:
+                break
         return num
+
+    def _merge_candidate_pairs(self, sel_set):
+        """Unique (pid_a, pid_b) pairs joined by a correspondence edge, both
+        alive, skipping pairs already tested at these track lengths."""
+        rec = self.reconstruction
+        lix = self.link_index
+        flat_pid, reg_flag = lix.refresh()
+        src_mask = flat_pid >= 0
+        if sel_set is not None:
+            sel_arr = np.fromiter(sel_set, dtype=np.int64, count=len(sel_set))
+            sel_arr.sort()
+            pos = np.searchsorted(sel_arr, flat_pid)
+            pos_safe = np.minimum(pos, len(sel_arr) - 1)
+            src_mask &= sel_arr[pos_safe] == flat_pid
+        src_nodes = np.nonzero(src_mask)[0]
+        if len(src_nodes) == 0:
+            return []
+        indptr, adj = lix.indptr, lix.adj
+        starts = indptr[src_nodes]
+        lens = indptr[src_nodes + 1] - starts
+        nz = lens > 0
+        src_nodes, starts, lens = src_nodes[nz], starts[nz], lens[nz]
+        total = int(lens.sum())
+        if total == 0:
+            return []
+        row = np.repeat(np.arange(len(src_nodes)), lens)
+        base = np.repeat(starts - (np.cumsum(lens) - lens), lens)
+        tgt = adj[np.arange(total) + base]
+        spid = flat_pid[src_nodes][row]
+        tpid = flat_pid[tgt]
+        ok = (tpid >= 0) & (tpid != spid)
+        if not ok.any():
+            return []
+        a = np.minimum(spid[ok], tpid[ok])
+        b = np.maximum(spid[ok], tpid[ok])
+        codes = np.unique(a << np.int64(32) | b)
+        pairs = []
+        for code in codes.tolist():
+            pa, pb = code >> 32, code & 0xFFFFFFFF
+            ta = rec.points3D.get(pa)
+            tb = rec.points3D.get(pb)
+            if ta is None or tb is None:
+                continue
+            key = (pa, pb)
+            lens_now = (ta.track.length(), tb.track.length())
+            if self._merge_tested.get(key) == lens_now:
+                continue
+            self._merge_tested[key] = lens_now
+            pairs.append(key)
+        return pairs
+
+    def _batched_merge_test(self, pairs, thr):
+        """Test all pairs' merged points against both tracks' observations
+        in one image-major reprojection batch. Returns surviving pairs."""
+        rec = self.reconstruction
+        Q = len(pairs)
+        pair_arr = np.asarray(pairs, dtype=np.int64)  # [Q, 2]
+        involved = np.unique(pair_arr.reshape(-1))
+        pids, _, iids, xy, p2ds = rec._all_observations(involved)
+        if len(pids) == 0:
+            return []
+        order = np.argsort(pids, kind="stable")
+        pids, iids, xy = pids[order], iids[order], xy[order]
+        upids = np.unique(pids)
+        seg_starts = np.searchsorted(pids, upids)
+        seg_ends = np.searchsorted(pids, upids, side="right")
+        # merged positions (track-length weighted, upstream Merge)
+        xyz_a = np.stack([rec.points3D[a].xyz for a, _ in pairs])
+        xyz_b = np.stack([rec.points3D[b].xyz for _, b in pairs])
+        na = np.array([rec.points3D[a].track.length() for a, _ in pairs])
+        nb = np.array([rec.points3D[b].track.length() for _, b in pairs])
+        merged = (na[:, None] * xyz_a + nb[:, None] * xyz_b) / (na + nb)[:, None]
+        # expand: per pair, observation rows of both pids
+        rows_l, pair_l = [], []
+        for side in (0, 1):
+            k = np.searchsorted(upids, pair_arr[:, side])
+            k = np.minimum(k, len(upids) - 1)
+            s, e = seg_starts[k], seg_ends[k]
+            cnt = e - s
+            pr = np.repeat(np.arange(Q), cnt)
+            fl = np.arange(cnt.sum()) + np.repeat(s - (np.cumsum(cnt) - cnt), cnt)
+            rows_l.append(fl)
+            pair_l.append(pr)
+        rows = np.concatenate(rows_l)
+        pair_of_obs = np.concatenate(pair_l)
+        o_iids = iids[rows]
+        o_xy = xy[rows]
+        o_xyz = merged[pair_of_obs]
+        # image-major projection
+        fail = np.zeros(Q, dtype=bool)
+        order2 = np.argsort(o_iids, kind="stable")
+        o_iids, o_xy, o_xyz = o_iids[order2], o_xy[order2], o_xyz[order2]
+        pair_of_obs = pair_of_obs[order2]
+        bounds = np.nonzero(np.diff(o_iids, prepend=o_iids[0] - 1))[0]
+        bounds = np.append(bounds, len(o_iids))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            img = rec.images[int(o_iids[s])]
+            cam = rec.cameras[img.camera_id]
+            R_t = img.cam_from_world.matrix()
+            p_cam = o_xyz[s:e] @ R_t[:, :3].T + R_t[:, 3]
+            z = p_cam[:, 2]
+            uv = p_cam[:, :2] / np.where(z[:, None] <= 1e-12, 1.0, z[:, None])
+            proj = cam.img_from_cam(uv)
+            err = np.linalg.norm(proj - o_xy[s:e], axis=1)
+            bad = (z <= 0) | (err > thr)
+            fail[pair_of_obs[s:e][bad]] = True
+        return [pairs[q] for q in np.nonzero(~fail)[0]]
 
     def complete_tracks(self, point3D_ids=None) -> int:
         """Transitively extend tracks to unlinked keypoints
-        (upstream CompleteAllTracks). Returns #completed observations."""
+        (upstream CompleteAllTracks). Returns #completed observations.
+
+        Vectorized: each transitivity round generates ALL candidate edges
+        (linked node -> unlinked registered node) with CSR expansions over
+        the LinkIndex, then batch-tests reprojection image-major. Rounds
+        bound BFS depth exactly like the reference's per-point queue."""
         rec = self.reconstruction
         opts = self.options
-        ids = list(point3D_ids) if point3D_ids is not None else list(rec.points3D)
+        lix = self.link_index
+        thr = opts.complete_max_reproj_error
+        sel_arr = None
+        if point3D_ids is not None:
+            sel = set(int(p) for p in point3D_ids)
+            if not sel:
+                return 0
+            sel_arr = np.fromiter(sel, dtype=np.int64, count=len(sel))
+            sel_arr.sort()
+        indptr = lix.indptr
+        adj = lix.adj
+        node_image = lix.node_image
+        node_idx = lix.node_idx
         num = 0
-        for pid in ids:
-            pt = rec.points3D.get(pid)
-            if pt is None:
-                continue
-            if self._completed_at_len.get(pid) == pt.track.length():
-                continue
-            queue = [(el.image_id, el.point2D_idx, 0) for el in pt.track.elements]
-            seen = {(el.image_id, el.point2D_idx) for el in pt.track.elements}
-            while queue:
-                iid, kidx, depth = queue.pop()
-                if depth >= opts.complete_max_transitivity:
-                    continue
-                cimgs, cidxs = self.graph.find_correspondences_arrays(iid, kidx)
-                for cimg, cidx in zip(cimgs, cidxs):
-                    cimg, cidx = int(cimg), int(cidx)
-                    if (cimg, cidx) in seen:
-                        continue
-                    seen.add((cimg, cidx))
-                    other = rec.images.get(cimg)
-                    if other is None or not other.registered:
-                        continue
-                    if other.points2D_point3D_ids[cidx] != np.uint64(
+        for _round in range(max(opts.complete_max_transitivity, 0)):
+            flat_pid, reg_flag = lix.refresh()
+            src_mask = flat_pid >= 0
+            if sel_arr is not None:
+                pos = np.searchsorted(sel_arr, flat_pid)
+                pos_safe = np.minimum(pos, len(sel_arr) - 1)
+                src_mask &= sel_arr[pos_safe] == flat_pid
+            src_nodes = np.nonzero(src_mask)[0]
+            if len(src_nodes) == 0:
+                break
+            starts = indptr[src_nodes]
+            lens = indptr[src_nodes + 1] - starts
+            nz = lens > 0
+            src_nodes, starts, lens = src_nodes[nz], starts[nz], lens[nz]
+            total = int(lens.sum())
+            if total == 0:
+                break
+            row = np.repeat(np.arange(len(src_nodes)), lens)
+            base = np.repeat(starts - (np.cumsum(lens) - lens), lens)
+            tgt = adj[np.arange(total) + base]
+            cand_pid = flat_pid[src_nodes][row]
+            ok = (flat_pid[tgt] < 0) & reg_flag[node_image[tgt]]
+            tgt, cand_pid = tgt[ok], cand_pid[ok]
+            if len(tgt) == 0:
+                break
+            # one candidate pid per target keypoint (first in edge order)
+            order = np.argsort(tgt, kind="stable")
+            tgt, cand_pid = tgt[order], cand_pid[order]
+            firsts = np.diff(tgt, prepend=tgt[0] - 1) != 0
+            tgt, cand_pid = tgt[firsts], cand_pid[firsts]
+            # point positions
+            pid_table, xyz_table = rec._point_table()
+            if len(pid_table) == 0:
+                break
+            rows = np.searchsorted(pid_table, cand_pid)
+            rows_safe = np.minimum(rows, len(pid_table) - 1)
+            live = pid_table[rows_safe] == cand_pid
+            tgt, cand_pid, rows_safe = tgt[live], cand_pid[live], rows_safe[live]
+            if len(tgt) == 0:
+                break
+            xyz = xyz_table[rows_safe]
+            timg = node_image[tgt]
+            tkp = node_idx[tgt]
+            # image-major batched projection test
+            order = np.argsort(timg, kind="stable")
+            tgt, cand_pid, xyz = tgt[order], cand_pid[order], xyz[order]
+            timg, tkp = timg[order], tkp[order]
+            bounds = np.nonzero(np.diff(timg, prepend=timg[0] - 1))[0]
+            bounds = np.append(bounds, len(timg))
+            added = 0
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                img = rec.images[int(timg[s])]
+                cam = rec.cameras[img.camera_id]
+                R_t = img.cam_from_world.matrix()
+                p_cam = xyz[s:e] @ R_t[:, :3].T + R_t[:, 3]
+                z = p_cam[:, 2]
+                uv = p_cam[:, :2] / np.where(z[:, None] <= 1e-12, 1.0, z[:, None])
+                proj = cam.img_from_cam(uv)
+                err = np.linalg.norm(proj - img.points2D_xy[tkp[s:e]], axis=1)
+                good = (z > 0) & (err <= thr)
+                iid = int(timg[s])
+                for k in np.nonzero(good)[0]:
+                    kidx = int(tkp[s + k])
+                    # may have been claimed earlier this round
+                    if img.points2D_point3D_ids[kidx] != np.uint64(
                         INVALID_POINT3D_ID
                     ):
                         continue
-                    cam = rec.cameras[other.camera_id]
-                    p_cam = other.cam_from_world * pt.xyz
-                    if p_cam[2] <= 0:
-                        continue
-                    proj = cam.img_from_cam(p_cam[None, :2] / p_cam[2])[0]
-                    err = np.linalg.norm(proj - other.points2D_xy[cidx])
-                    if err <= opts.complete_max_reproj_error:
-                        rec.add_observation(pid, TrackElement(cimg, cidx))
-                        queue.append((cimg, cidx, depth + 1))
-                        num += 1
-            if pid in rec.points3D:
-                self._completed_at_len[pid] = rec.points3D[pid].track.length()
+                    rec.add_observation(
+                        int(cand_pid[s + k]), TrackElement(iid, kidx)
+                    )
+                    added += 1
+            num += added
+            if added == 0:
+                break
         return num
 
     def complete_image(self, image_id: int) -> int:

@@ -49,6 +49,76 @@ class TestBucketize:
         assert total == int(mask.sum())
 
 
+class TestAnalyticJacobians:
+    @pytest.mark.parametrize("model_id", list(range(11)))
+    def test_matches_jvp(self, model_id):
+        """Analytic component-first Jacobians == the 21-jvp reference for
+        every camera model."""
+        import jax.numpy as jnp
+
+        from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+        from pycolmap_tpu.sfm import ba_kernels as bk
+
+        rng = np.random.default_rng(model_id)
+        T, P = 4, 8
+        info = CAMERA_MODEL_BY_ID[model_id]
+        params = np.zeros(bk.MAX_PARAMS, dtype=np.float32)
+        for i in info.focal_idxs:
+            params[i] = 400.0
+        params[info.principal_idxs[0]] = 320.0
+        params[info.principal_idxs[1]] = 240.0
+        for i in info.extra_idxs:
+            params[i] = rng.uniform(-0.05, 0.05)
+        if info.name == "FOV":
+            params[info.extra_idxs[0]] = 0.8
+
+        q = rng.normal(size=(T, P, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        q_obs = tuple(jnp.asarray(q[..., i]) for i in range(4))
+        t_obs = tuple(
+            jnp.asarray(rng.uniform(-0.5, 0.5, (T, P)).astype(np.float32))
+            for _ in range(3)
+        )
+        k_obs = tuple(
+            jnp.full((T, P), params[i], jnp.float32)
+            for i in range(bk.MAX_PARAMS)
+        )
+        pts = rng.uniform(-1, 1, (3, P)).astype(np.float32)
+        pts[2] += 6.0
+        mask = (rng.uniform(size=(T, P)) > 0.2).astype(np.float32)
+        bucket = bk.Bucket(
+            img_idx=jnp.zeros((T, P), jnp.int32),
+            cam_idx=jnp.zeros((T, P), jnp.int32),
+            xy=jnp.asarray(rng.uniform(0, 600, (2, T, P)).astype(np.float32)),
+            mask=jnp.asarray(mask),
+            points=jnp.asarray(pts),
+            point_free=jnp.asarray(
+                (rng.uniform(size=P) > 0.3).astype(np.float32)
+            ),
+            point_rows=jnp.arange(P, dtype=jnp.int32),
+        )
+        ifree = tuple(
+            jnp.full((T, P), 1.0 if i in set(
+                list(info.focal_idxs) + list(info.extra_idxs)
+            ) else 0.0, jnp.float32)
+            for i in range(bk.MAX_PARAMS)
+        )
+        res_a, J_a = bk._bucket_res_and_jac(
+            model_id, bucket, q_obs, t_obs, k_obs, ifree
+        )
+        res_j, J_j = bk._bucket_res_and_jac_jvp(
+            model_id, bucket, q_obs, t_obs, k_obs, ifree
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_a), np.asarray(res_j), atol=1e-4, rtol=1e-4
+        )
+        scale = np.abs(np.asarray(J_j)).max() + 1.0
+        np.testing.assert_allclose(
+            np.asarray(J_a) / scale, np.asarray(J_j) / scale,
+            atol=1e-4,  # f32 op-ordering noise between the two chain rules
+        )
+
+
 class TestFastSolverMatchesReference:
     def test_trivial_loss(self):
         problem = make_problem()

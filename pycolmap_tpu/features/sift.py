@@ -405,15 +405,14 @@ def _descriptors(mag, ang, x, y, level_idx, scale_rel, theta, normalization):
     return desc
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "height", "width", "num_octaves", "S", "first_octave",
-        "per_octave_kps", "max_num_orientations", "normalization", "upright",
-        "peak_threshold", "edge_threshold", "dsp_scales",
-    ),
+_EXTRACT_STATICS = (
+    "height", "width", "num_octaves", "S", "first_octave",
+    "per_octave_kps", "max_num_orientations", "normalization", "upright",
+    "peak_threshold", "edge_threshold", "dsp_scales",
 )
-def _extract_jit(
+
+
+def _extract_core(
     image, height, width, num_octaves, S, first_octave, per_octave_kps,
     max_num_orientations, normalization, upright, peak_threshold, edge_threshold,
     dsp_scales=(),
@@ -492,18 +491,41 @@ def _extract_jit(
     return kp_x, kp_y, kp_s, kp_t, descs, masks
 
 
+_extract_jit = functools.partial(jax.jit, static_argnames=_EXTRACT_STATICS)(
+    _extract_core
+)
+
+
+@functools.partial(jax.jit, static_argnames=_EXTRACT_STATICS)
+def _extract_batch_jit(
+    images, height, width, num_octaves, S, first_octave, per_octave_kps,
+    max_num_orientations, normalization, upright, peak_threshold, edge_threshold,
+    dsp_scales=(),
+):
+    """vmapped SIFT over a [B, H, W] stack of same-size images.
+
+    Batching amortizes the per-kernel fixed cost of the many small pyramid /
+    histogram ops across images — single-image extraction on TPU is
+    latency-bound, not FLOP-bound (BASELINE.md SIFT row)."""
+
+    def one(img):
+        return _extract_core(
+            img, height, width, num_octaves, S, first_octave, per_octave_kps,
+            max_num_orientations, normalization, upright, peak_threshold,
+            edge_threshold, dsp_scales,
+        )
+
+    return jax.vmap(one)(images)
+
+
 class Sift:
     """In-memory SIFT extractor (API parity: feature/sift.h class Sift)."""
 
     def __init__(self, options: SiftExtractionOptions = None, device=None):
         self.options = options if options is not None else SiftExtractionOptions()
 
-    def extract(self, image: np.ndarray):
-        """image: HxW uint8 or float (0..1 or 0..255 float also accepted).
-
-        Returns (keypoints Nx4 [x, y, scale, orientation], descriptors
-        Nx128 float32).
-        """
+    @staticmethod
+    def _to_gray_float(image: np.ndarray) -> np.ndarray:
         img = np.asarray(image)
         if img.ndim == 3:
             img = img.mean(axis=2)
@@ -513,7 +535,9 @@ class Sift:
             img = img.astype(np.float32)
             if img.max() > 2.0:  # 0..255 float input
                 img = img / 255.0
-        h, w = img.shape
+        return img
+
+    def _static_params(self, h: int, w: int):
         opts = self.options
         max_dim = max(h, w) * (2 if opts.first_octave < 0 else 1)
         num_octaves = min(
@@ -530,27 +554,61 @@ class Sift:
             )
         else:
             dsp_scales = ()
-        kp_x, kp_y, kp_s, kp_t, descs, mask = _extract_jit(
-            jnp.asarray(img),
+        return (
             h, w, num_octaves, opts.octave_resolution, opts.first_octave,
             per_octave, opts.max_num_orientations,
             int(opts.normalization), opts.upright,
             float(opts.peak_threshold), float(opts.edge_threshold),
             dsp_scales,
         )
-        mask = np.asarray(mask)
-        kps = np.stack(
-            [np.asarray(kp_x), np.asarray(kp_y), np.asarray(kp_s), np.asarray(kp_t)],
-            axis=1,
-        )[mask]
-        descs = np.asarray(descs)[mask]
+
+    def _postprocess(self, kp_x, kp_y, kp_s, kp_t, descs, mask):
+        kps = np.stack([kp_x, kp_y, kp_s, kp_t], axis=1)[mask]
+        descs = descs[mask]
         # global budget: keep largest-scale features (COLMAP semantics)
         if len(kps) > self.options.max_num_features:
-            order = np.argsort(-kps[:, 2], kind="stable")[: self.options.max_num_features]
+            order = np.argsort(-kps[:, 2], kind="stable")[
+                : self.options.max_num_features
+            ]
             order = np.sort(order)
             kps = kps[order]
             descs = descs[order]
         return kps.astype(np.float32), descs.astype(np.float32)
+
+    def extract(self, image: np.ndarray):
+        """image: HxW uint8 or float (0..1 or 0..255 float also accepted).
+
+        Returns (keypoints Nx4 [x, y, scale, orientation], descriptors
+        Nx128 float32).
+        """
+        img = self._to_gray_float(image)
+        h, w = img.shape
+        out = _extract_jit(img, *self._static_params(h, w))
+        kp_x, kp_y, kp_s, kp_t, descs, mask = jax.device_get(out)
+        return self._postprocess(kp_x, kp_y, kp_s, kp_t, descs, mask)
+
+    def extract_batch(self, images):
+        """Batched extraction of SAME-SIZE images (one vmapped device call).
+
+        images: sequence of HxW arrays with identical shapes. Returns a list
+        of (keypoints Nx4, descriptors Nx128) tuples.
+        """
+        if not images:
+            return []
+        grays = [self._to_gray_float(im) for im in images]
+        h, w = grays[0].shape
+        for g in grays:
+            if g.shape != (h, w):
+                raise ValueError("extract_batch requires same-size images")
+        stack = np.stack(grays)
+        out = _extract_batch_jit(stack, *self._static_params(h, w))
+        kp_x, kp_y, kp_s, kp_t, descs, mask = jax.device_get(out)
+        return [
+            self._postprocess(
+                kp_x[b], kp_y[b], kp_s[b], kp_t[b], descs[b], mask[b]
+            )
+            for b in range(len(grays))
+        ]
 
 
 def extract_sift(image, options: SiftExtractionOptions = None):

@@ -63,17 +63,15 @@ def extract_features(
     db = Database(database_path)
     sift = Sift(sift_options)
     image_path = Path(image_path)
-    try:
-        images = db.read_all_images()
-        for img in images:
-            if db.exists_keypoints(img.image_id) and db.exists_descriptors(img.image_id):
-                continue
-            f = image_path / img.name
-            if not f.exists():
-                continue
-            arr = read_image_gray(f)
-            arr_small, inv_scale = _resize_to_max(arr, sift_options.max_image_size)
-            kps, descs = sift.extract(arr_small)
+    # same-size images batch into one vmapped device call (P3 data-parallel
+    # extraction, SURVEY.md §2c; single-image extraction is latency-bound)
+    batch_size = 4
+
+    def _flush(batch):
+        if not batch:
+            return
+        results = sift.extract_batch([arr for _, arr, _ in batch])
+        for (img, _, inv_scale), (kps, descs) in zip(batch, results):
             if inv_scale != 1.0:
                 kps = kps.copy()
                 kps[:, 0] *= inv_scale
@@ -85,5 +83,24 @@ def extract_features(
                 db.write_descriptors(img.image_id, descs_u8)
             if verbose:
                 print(f"extracted {len(kps):5d} features: {img.name}")
+
+    try:
+        images = db.read_all_images()
+        pending = {}  # shape -> list of (img, array, inv_scale)
+        for img in images:
+            if db.exists_keypoints(img.image_id) and db.exists_descriptors(img.image_id):
+                continue
+            f = image_path / img.name
+            if not f.exists():
+                continue
+            arr = read_image_gray(f)
+            arr_small, inv_scale = _resize_to_max(arr, sift_options.max_image_size)
+            batch = pending.setdefault(arr_small.shape, [])
+            batch.append((img, arr_small, inv_scale))
+            if len(batch) >= batch_size:
+                _flush(batch)
+                pending[arr_small.shape] = []
+        for batch in pending.values():
+            _flush(batch)
     finally:
         db.close()

@@ -50,6 +50,16 @@ class TestSift:
         kps_u, _ = sift.extract((img * 255).astype(np.uint8))
         assert abs(len(kps_f) - len(kps_u)) <= max(3, 0.05 * len(kps_f))
 
+    def test_extract_batch_matches_single(self, sift):
+        """vmapped batch path returns the same features as per-image calls."""
+        imgs = [blob_image(s) for s in (3, 4, 5)]
+        singles = [sift.extract(im) for im in imgs]
+        batched = sift.extract_batch(imgs)
+        for (k1, d1), (k2, d2) in zip(singles, batched):
+            assert len(k1) == len(k2)
+            np.testing.assert_allclose(k1, k2, atol=1e-3)
+            np.testing.assert_allclose(d1, d2, atol=2e-3)
+
     def test_shift_repeatability(self, sift):
         img = blob_image(2)
         kps1, d1 = sift.extract(img)

@@ -107,6 +107,7 @@ def _match_and_verify_pairs(
     matching_options: SiftMatchingOptions,
     verification_options: TwoViewGeometryOptions,
     verbose: bool = False,
+    db_out: Database = None,
 ):
     """The shared inner loop of every pairing strategy.
 
@@ -117,6 +118,8 @@ def _match_and_verify_pairs(
     """
     from pycolmap_tpu.estimators.batch_two_view import verify_pairs_batch
 
+    if db_out is None:
+        db_out = db  # default: read features and write matches in one DB
     cache = _FeatureCache(db)
     num_verified = 0
     block = []  # (id1, id2, pair_data dict, d1, d2, kp1, kp2)
@@ -144,7 +147,7 @@ def _match_and_verify_pairs(
                     )
                     if len(g2.inlier_matches) > len(g.inlier_matches):
                         g = g2
-            db.write_two_view_geometry(image_id1, image_id2, g)
+            db_out.write_two_view_geometry(image_id1, image_id2, g)
             if len(g.inlier_matches) >= verification_options.min_num_inliers:
                 num_verified += 1
             if verbose:
@@ -158,7 +161,7 @@ def _match_and_verify_pairs(
         kp1, d1 = cache.load(image_id1)
         kp2, d2 = cache.load(image_id2)
         matches = match_descriptors(d1, d2, matching_options)
-        db.write_matches(image_id1, image_id2, matches)
+        db_out.write_matches(image_id1, image_id2, matches)
         if len(matches) < verification_options.min_num_inliers:
             continue
         block.append(
@@ -177,7 +180,7 @@ def _match_and_verify_pairs(
         if len(block) >= _BATCH_VERIFY_SIZE:
             flush()
     flush()
-    db.commit()
+    db_out.commit()
     return num_verified
 
 

@@ -1,6 +1,10 @@
 """Kernel throughput: SIFT extraction and descriptor matching on the device."""
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
@@ -34,6 +38,23 @@ def main():
             f"SIFT {W}x{H}: {dt*1e3:.0f} ms/image ({1/dt:.1f} img/s), "
             f"{len(kps)} keypoints"
         )
+        for B in (4, 8):
+            imgs = [
+                gaussian_filter(
+                    rng.uniform(0, 1, (H, W)).astype(np.float32), 2.0
+                )
+                for _ in range(B)
+            ]
+            sift.extract_batch(imgs)  # compile
+            t0 = time.perf_counter()
+            n = 3
+            for _ in range(n):
+                out = sift.extract_batch(imgs)
+            dt = (time.perf_counter() - t0) / n / B
+            print(
+                f"SIFT {W}x{H} batch={B}: {dt*1e3:.0f} ms/image "
+                f"({1/dt:.1f} img/s)"
+            )
 
     for N in (2048, 8192):
         d1 = rng.normal(size=(N, 128)).astype(np.float32)

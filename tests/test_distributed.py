@@ -1,0 +1,77 @@
+"""Multi-host distribution layer: partitioning, shard DBs, merge parity.
+
+Emulates N processes by running each shard's work sequentially in one
+process (the shard/merge protocol is pure filesystem state, so this
+exercises exactly what N real hosts would do; SURVEY.md §4.5 fake-backend
+strategy).
+"""
+
+import numpy as np
+import pytest
+
+from pycolmap_tpu.parallel.distributed import (
+    extract_features_sharded,
+    make_feature_shard,
+    match_exhaustive_sharded,
+    merge_feature_shards,
+    merge_match_shards,
+    partition_pairs,
+    partition_round_robin,
+    shard_database_path,
+)
+from pycolmap_tpu.pipeline import extract_features, match_exhaustive
+from pycolmap_tpu.pipeline.images import import_images
+from pycolmap_tpu.scene import Database
+
+from test_full_pipeline import render_scene
+
+
+class TestPartitioning:
+    def test_round_robin_covers_all(self):
+        items = list(range(17))
+        shards = [partition_round_robin(items, 4, k) for k in range(4)]
+        assert sorted(x for s in shards for x in s) == items
+        sizes = [len(s) for s in shards]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_single_shard_identity(self):
+        assert partition_pairs([(1, 2), (1, 3)], 1, 0) == [(1, 2), (1, 3)]
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_matches_single_process(tmp_path):
+    imgs = tmp_path / "images"
+    render_scene(imgs, num_images=4, W=320, H=240)
+
+    # single-process reference
+    db_ref = tmp_path / "ref.db"
+    extract_features(db_ref, imgs)
+    match_exhaustive(db_ref)
+
+    # 2-way sharded extraction + matching, sequential emulation
+    db = tmp_path / "sharded.db"
+    import_images(db, imgs)
+    for k in range(2):
+        extract_features_sharded(db, imgs, process_id=k, num_processes=2)
+    merge_feature_shards(
+        db, [shard_database_path(db, k) for k in range(2)]
+    )
+    for k in range(2):
+        match_exhaustive_sharded(db, process_id=k, num_processes=2)
+    merge_match_shards(db, [shard_database_path(db, k) for k in range(2)])
+
+    a, b = Database(db_ref), Database(db)
+    try:
+        assert a.num_keypoints == b.num_keypoints
+        assert a.num_descriptors == b.num_descriptors
+        assert a.num_matches == b.num_matches
+        assert a.num_verified_image_pairs == b.num_verified_image_pairs
+        # per-image features byte-identical (deterministic extraction)
+        for img in a.read_all_images():
+            iid = b.image_id_from_name(img.name)
+            np.testing.assert_array_equal(
+                a.read_keypoints(img.image_id), b.read_keypoints(iid)
+            )
+    finally:
+        a.close()
+        b.close()

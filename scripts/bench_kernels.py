@@ -38,7 +38,7 @@ def main():
             f"SIFT {W}x{H}: {dt*1e3:.0f} ms/image ({1/dt:.1f} img/s), "
             f"{len(kps)} keypoints"
         )
-        for B in (4, 8):
+        for B in (4,):
             imgs = [
                 gaussian_filter(
                     rng.uniform(0, 1, (H, W)).astype(np.float32), 2.0

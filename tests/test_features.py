@@ -39,7 +39,9 @@ class TestSift:
         assert descs.shape == (len(kps), 128)
         assert len(kps) > 20
         norms = np.linalg.norm(descs, axis=1)
-        assert np.all(np.abs(norms - 1.0) < 1e-3)
+        # descriptors are uint8-quantized on device (ref storage format,
+        # feature/sift.h:76-78): ~unit norm within quantization error
+        assert np.all(np.abs(norms - 1.0) < 5e-3)
         # keypoints inside the image
         assert np.all(kps[:, 0] >= 0) and np.all(kps[:, 0] < 260)
         assert np.all(kps[:, 2] > 0)  # positive scales

@@ -64,6 +64,7 @@ from pycolmap_tpu.estimators import (
     align_reconstructions_via_proj_centers,
     align_reconstructions_via_reprojections,
     compare_reconstructions,
+    estimate_sim3d_robust,
     essential_matrix_estimation,
     estimate_absolute_pose,
     estimate_calibrated_two_view_geometry,

@@ -12,6 +12,7 @@ from pycolmap_tpu.estimators.alignment import (
     align_reconstructions_via_proj_centers,
     align_reconstructions_via_reprojections,
     compare_reconstructions,
+    estimate_sim3d_robust,
 )
 from pycolmap_tpu.estimators.essential_matrix import (
     essential_matrix_estimation,

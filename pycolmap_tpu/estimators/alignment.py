@@ -34,6 +34,64 @@ class ImageAlignmentError:
         )
 
 
+def estimate_sim3d_robust(src, dst, max_error: float, seed: int = 0):
+    """Batched-LORANSAC Sim3: 3-point Umeyama hypotheses scored against all
+    correspondences in one tensor op, weighted Umeyama LO refit (the robust
+    counterpart of upstream AlignReconstructions RANSAC).
+
+    Returns (Sim3d, inlier_mask) or (None, None).
+    """
+    from pycolmap_tpu.estimators.ransac import BatchedLORANSAC, RANSACOptions
+    from pycolmap_tpu.ops import quaternion as qops
+
+    src = np.asarray(src, dtype=np.float32)
+    dst = np.asarray(dst, dtype=np.float32)
+
+    def minimal(idx, s, d):
+        scale, quat, trans = solvers.umeyama(s[idx], d[idx])
+        ok = (
+            jnp.isfinite(scale)
+            & (scale > 1e-8)
+            & jnp.all(jnp.isfinite(quat), axis=-1)
+            & jnp.all(jnp.isfinite(trans), axis=-1)
+        )
+        return (scale[:, None], quat[:, None], trans[:, None]), ok[:, None]
+
+    def residual(model, s, d):
+        scale, quat, trans = model  # [K,1], [K,1,4], [K,1,3]
+        rot = qops.quat_rotate(quat[:, :, None, :], s[None, None])
+        pred = scale[:, :, None, None] * rot + trans[:, :, None, :]
+        return jnp.sum((pred - d[None, None]) ** 2, axis=-1)
+
+    def refit(weights, s, d):
+        scale, quat, trans = solvers.umeyama(s[None], d[None], weights[None])
+        return (
+            (scale[:, None], quat[:, None], trans[:, None]),
+            jnp.ones((1, 1), dtype=bool),
+        )
+
+    engine = BatchedLORANSAC(
+        minimal_solver=minimal,
+        residual_fn=residual,
+        sample_size=3,
+        refit_solver=refit,
+        chunk_size=256,
+    )
+    opts = RANSACOptions()
+    opts.max_error = float(max_error)
+    report = engine.estimate(opts, src, dst, seed=seed)
+    if not report.success:
+        return None, None
+    scale, quat, trans = report.model
+    q = np.asarray(quat, dtype=np.float64).reshape(4)
+    tform = Sim3d(
+        float(np.asarray(scale).reshape(())),
+        Rotation3d(np.array([q[1], q[2], q[3], q[0]])),
+        np.asarray(trans, dtype=np.float64).reshape(3),
+    )
+    return tform, report.inlier_mask
+
+
 def _sim3_from_umeyama(src_pts, dst_pts, fixed_scale=False):
     scale, quat, trans = solvers.umeyama(
         jnp.asarray(src_pts, dtype=jnp.float32)[None],
@@ -113,10 +171,17 @@ def align_reconstructions_via_points(
     src_pts = np.asarray(src_pts)
     tgt_pts = np.asarray(tgt_pts)
     tform = _sim3_from_umeyama(src_pts, tgt_pts)
-    # one robust re-fit pass
     resid = np.linalg.norm(tform * src_pts - tgt_pts, axis=1)
     scale = np.median(resid) if len(resid) else 0.0
     thresh = max(max_error, 3.0 * scale)
+    if len(src_pts) >= 8:
+        # full RANSAC (upstream AlignReconstructions robust estimation);
+        # threshold adapted to the one-shot residual scale so raw
+        # (unnormalized) reconstructions keep working
+        robust, _ = estimate_sim3d_robust(src_pts, tgt_pts, thresh)
+        if robust is not None:
+            return robust
+    # fallback: one robust re-fit pass
     inliers = resid <= thresh
     if inliers.sum() >= max(3, min_inlier_ratio * len(src_pts)):
         tform = _sim3_from_umeyama(src_pts[inliers], tgt_pts[inliers])

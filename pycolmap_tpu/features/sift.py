@@ -282,10 +282,14 @@ def _octave_gradients(gauss):
     return jnp.stack([gx, gy], axis=-1)
 
 
-def _orientations(grad, x, y, level_idx, scale_rel, mask, max_num_orientations):
+def _orientations(grad, x, y, level_idx, scale_rel, mask, max_num_orientations,
+                  affine=None):
     """36-bin Gaussian-weighted orientation histogram per keypoint.
 
-    grad: [L, H, W, 2] gradient vectors. Returns (orients [K, O], ori_mask).
+    grad: [L, H, W, 2] gradient vectors; affine: optional [K, 2, 2] shape
+    matrices — sampling and gradients move to the affine-normalized frame
+    (VLFeat covdet computes orientations after shape adaptation).
+    Returns (orients [K, O], ori_mask).
     """
     K = x.shape[0]
     G = _GRID
@@ -294,13 +298,27 @@ def _orientations(grad, x, y, level_idx, scale_rel, mask, max_num_orientations):
     # fixed sample grid in [-1, 1]
     u = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * 2.0 - 1.0
     uu, vv = jnp.meshgrid(u, u)  # [G, G]
-    sx = x[:, None, None] + radius[:, None, None] * uu[None]
-    sy = y[:, None, None] + radius[:, None, None] * vv[None]
+    if affine is None:
+        sx = x[:, None, None] + radius[:, None, None] * uu[None]
+        sy = y[:, None, None] + radius[:, None, None] * vv[None]
+    else:
+        A = affine
+        sx = x[:, None, None] + radius[:, None, None] * (
+            A[:, 0, 0, None, None] * uu[None] + A[:, 0, 1, None, None] * vv[None]
+        )
+        sy = y[:, None, None] + radius[:, None, None] * (
+            A[:, 1, 0, None, None] * uu[None] + A[:, 1, 1, None, None] * vv[None]
+        )
 
     # one packed gather from each keypoint's level, then mag/angle on samples
     g = jax.vmap(lambda level, ys, xs: _bilinear_gather_level(grad, level, ys, xs))(
         level_idx, sy, sx
     )  # [K, G, G, 2]
+    if affine is not None:
+        A = affine
+        gx = A[:, 0, 0, None, None] * g[..., 0] + A[:, 1, 0, None, None] * g[..., 1]
+        gy = A[:, 0, 1, None, None] * g[..., 0] + A[:, 1, 1, None, None] * g[..., 1]
+        g = jnp.stack([gx, gy], axis=-1)
     m = jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2 + 1e-12)
     a = jnp.arctan2(g[..., 1], g[..., 0])
     # Gaussian weight in window coords
@@ -341,6 +359,81 @@ def _orientations(grad, x, y, level_idx, scale_rel, mask, max_num_orientations):
     bin_f = top_bins.astype(jnp.float32) + di
     theta = (bin_f + 0.5) / _ORI_BINS * 2 * jnp.pi - jnp.pi
     return theta, ori_mask
+
+
+def _affine_shapes(grad, x, y, level_idx, scale_rel, mask, num_iters: int = 5):
+    """Second-moment affine shape adaptation (VLFeat covdet
+    AffineShapeEstimator semantics; ref: extract_features.h
+    estimate_affine_shape option).
+
+    Iterates A <- A @ mu^{-1/2} where mu is the Gaussian-windowed second
+    moment matrix of the affinely-warped patch, normalized to det(A) = 1.
+    Returns (A [K, 2, 2], ok [K]): ok marks converged, well-conditioned
+    shapes (anisotropy <= 6, upstream rejection threshold).
+    """
+    G = _GRID
+    u = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * 2.0 - 1.0
+    uu, vv = jnp.meshgrid(u, u)
+    w = jnp.exp(-(uu**2 + vv**2) / (2 * (2.0 / 3.0) ** 2))
+    radius = 3.0 * 1.5 * scale_rel  # same window as orientation estimation
+    K = x.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (K, 2, 2))
+
+    def step(carry, _):
+        A, q = carry
+        sx = x[:, None, None] + radius[:, None, None] * (
+            A[:, 0, 0, None, None] * uu[None] + A[:, 0, 1, None, None] * vv[None]
+        )
+        sy = y[:, None, None] + radius[:, None, None] * (
+            A[:, 1, 0, None, None] * uu[None] + A[:, 1, 1, None, None] * vv[None]
+        )
+        g = jax.vmap(
+            lambda level, ys, xs: _bilinear_gather_level(grad, level, ys, xs)
+        )(level_idx, sy, sx)
+        # warped-patch gradients: d/du I(x + r A u) ~ A^T g
+        gx = A[:, 0, 0, None, None] * g[..., 0] + A[:, 1, 0, None, None] * g[..., 1]
+        gy = A[:, 0, 1, None, None] * g[..., 0] + A[:, 1, 1, None, None] * g[..., 1]
+        Mxx = jnp.sum(w * gx * gx, axis=(1, 2))
+        Mxy = jnp.sum(w * gx * gy, axis=(1, 2))
+        Myy = jnp.sum(w * gy * gy, axis=(1, 2))
+        tr = Mxx + Myy
+        det = jnp.maximum(Mxx * Myy - Mxy * Mxy, 1e-20)
+        # anisotropy q = lambda_min / lambda_max
+        disc = jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))
+        lmax = 0.5 * (tr + disc)
+        lmin = 0.5 * (tr - disc)
+        q = lmin / jnp.maximum(lmax, 1e-20)
+        # inverse square root of the 2x2 SPD M (closed form), det-normalized
+        sdet = jnp.sqrt(det)
+        s = jnp.sqrt(jnp.maximum(tr + 2 * sdet, 1e-20))
+        # sqrt(M) = (M + sqrt(det) I) / s; W = sqrt(M)^-1 scaled to det 1
+        w00 = (Myy + sdet) / s
+        w01 = -Mxy / s
+        w11 = (Mxx + sdet) / s
+        wdet = jnp.maximum(w00 * w11 - w01 * w01, 1e-20)
+        n = jnp.sqrt(wdet)
+        W = jnp.stack(
+            [
+                jnp.stack([w00 / n, w01 / n], -1),
+                jnp.stack([w01 / n, w11 / n], -1),
+            ],
+            -2,
+        )
+        A_new = jnp.einsum("kij,kjl->kil", A, W)
+        good = jnp.isfinite(A_new).all(axis=(1, 2)) & (tr > 1e-12)
+        A = jnp.where(good[:, None, None], A_new, A)
+        return (A, q), None
+
+    (A, q), _ = jax.lax.scan(step, (eye, jnp.ones(K)), None, length=num_iters)
+    # condition of A itself: singular-value ratio via A^T A eigenvalues
+    AtA_tr = jnp.einsum("kij,kij->k", A, A)
+    AtA_det = (A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]) ** 2
+    disc = jnp.sqrt(jnp.maximum(AtA_tr**2 - 4 * AtA_det, 0.0))
+    cond = jnp.sqrt(
+        (AtA_tr + disc) / jnp.maximum(AtA_tr - disc, 1e-20)
+    )
+    ok = mask & jnp.isfinite(A).all(axis=(1, 2)) & (cond <= 6.0)
+    return A, ok
 
 
 def _bilinear_gather_level(vol, level, ys, xs):
@@ -384,10 +477,27 @@ def _precompute_descriptor_weights():
 _DESC_W = _precompute_descriptor_weights()  # [256, 16]
 
 
-def _descriptors(grad, x, y, level_idx, scale_rel, theta, normalization):
+def _frame_matrix(theta, affine=None):
+    """Per-keypoint 2x2 patch->image sampling frame T = A @ R(theta).
+
+    affine: optional [K, 2, 2] shape matrices from affine adaptation
+    (identity when None — plain rotated SIFT frames)."""
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    R = jnp.stack(
+        [jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2
+    )  # [K, 2, 2]
+    if affine is None:
+        return R
+    return jnp.einsum("kij,kjl->kil", affine, R)
+
+
+def _descriptors(grad, x, y, level_idx, scale_rel, theta, normalization,
+                 affine=None):
     """Fixed-grid SIFT descriptors. x,y,scale per keypoint-orientation.
 
-    grad: [L, H, W, 2] gradient vectors; x,y [K]; theta [K]. Returns
+    grad: [L, H, W, 2] gradient vectors; x,y [K]; theta [K]; affine:
+    optional [K, 2, 2] shape matrices (estimate_affine_shape). Returns
     [K, 128] float32.
     """
     K = x.shape[0]
@@ -397,21 +507,26 @@ def _descriptors(grad, x, y, level_idx, scale_rel, theta, normalization):
     half = D / 2 * mag_factor * scale_rel  # descriptor support half-width
     u = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * 2.0 - 1.0
     uu, vv = jnp.meshgrid(u, u)
-    c = jnp.cos(theta)
-    s = jnp.sin(theta)
-    # rotate sample offsets by theta
-    ox = half[:, None, None] * (c[:, None, None] * uu[None] - s[:, None, None] * vv[None])
-    oy = half[:, None, None] * (s[:, None, None] * uu[None] + c[:, None, None] * vv[None])
+    T = _frame_matrix(theta, affine)  # [K, 2, 2]
+    ox = half[:, None, None] * (
+        T[:, 0, 0, None, None] * uu[None] + T[:, 0, 1, None, None] * vv[None]
+    )
+    oy = half[:, None, None] * (
+        T[:, 1, 0, None, None] * uu[None] + T[:, 1, 1, None, None] * vv[None]
+    )
     sx = x[:, None, None] + ox
     sy = y[:, None, None] + oy
 
     g = jax.vmap(lambda level, ys, xs: _bilinear_gather_level(grad, level, ys, xs))(
         level_idx, sy, sx
     )  # [K, G, G, 2]
-    m = jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2 + 1e-12)
-    a = jnp.arctan2(g[..., 1], g[..., 0])
-    rel = a - theta[:, None, None]
-    obin = jnp.mod(rel / (2 * jnp.pi) * _DESC_ORI, _DESC_ORI)
+    # gradients in the patch frame: g_p = T^T g (for T = R this reduces to
+    # the classic angle - theta)
+    gpx = T[:, 0, 0, None, None] * g[..., 0] + T[:, 1, 0, None, None] * g[..., 1]
+    gpy = T[:, 0, 1, None, None] * g[..., 0] + T[:, 1, 1, None, None] * g[..., 1]
+    m = jnp.sqrt(gpx**2 + gpy**2 + 1e-12)
+    a = jnp.arctan2(gpy, gpx)
+    obin = jnp.mod(a / (2 * jnp.pi) * _DESC_ORI, _DESC_ORI)
     b0 = jnp.floor(obin)
     frac = obin - b0
     b0i = jnp.mod(b0.astype(jnp.int32), _DESC_ORI)
@@ -439,14 +554,14 @@ def _descriptors(grad, x, y, level_idx, scale_rel, theta, normalization):
 _EXTRACT_STATICS = (
     "height", "width", "num_octaves", "S", "first_octave",
     "per_octave_kps", "max_num_orientations", "normalization", "upright",
-    "peak_threshold", "edge_threshold", "dsp_scales",
+    "peak_threshold", "edge_threshold", "dsp_scales", "affine_shape",
 )
 
 
 def _extract_core(
     image, height, width, num_octaves, S, first_octave, per_octave_kps,
     max_num_orientations, normalization, upright, peak_threshold, edge_threshold,
-    dsp_scales=(),
+    dsp_scales=(), affine_shape=False,
 ):
     """Full SIFT for one image. Returns padded keypoints/descs + mask."""
     img = image.astype(jnp.float32)
@@ -470,12 +585,17 @@ def _extract_core(
             gauss, dog, S, peak_threshold, edge_threshold, per_octave_kps
         )
         grad = _octave_gradients(gauss)
+        if affine_shape:
+            A, mask = _affine_shapes(grad, x, y, level_idx, scale_rel, mask)
+        else:
+            A = None
         if upright:
             theta = jnp.zeros((x.shape[0], 1), dtype=jnp.float32)
             ori_mask = mask[:, None]
         else:
             theta, ori_mask = _orientations(
-                grad, x, y, level_idx, scale_rel, mask, max_num_orientations
+                grad, x, y, level_idx, scale_rel, mask, max_num_orientations,
+                affine=A,
             )
         O = theta.shape[1]
         # expand keypoints per orientation
@@ -485,12 +605,19 @@ def _extract_core(
         se = jnp.repeat(scale_rel[:, None], O, 1).reshape(-1)
         th = theta.reshape(-1)
         me = ori_mask.reshape(-1)
+        Ae = (
+            jnp.repeat(A[:, None], O, 1).reshape(-1, 2, 2)
+            if A is not None
+            else None
+        )
         if dsp_scales:
             # domain-size pooling (ref: extract_features.h dsp_* options):
             # average descriptors over scaled supports, then renormalize
             acc = None
             for f in dsp_scales:
-                d = _descriptors(grad, xe, ye, le, se * f, th, normalization)
+                d = _descriptors(
+                    grad, xe, ye, le, se * f, th, normalization, affine=Ae
+                )
                 acc = d if acc is None else acc + d
             desc = acc / len(dsp_scales)
             desc = desc / jnp.maximum(
@@ -503,7 +630,7 @@ def _extract_core(
                 )
                 desc = jnp.sqrt(desc)
         else:
-            desc = _descriptors(grad, xe, ye, le, se, th, normalization)
+            desc = _descriptors(grad, xe, ye, le, se, th, normalization, affine=Ae)
         # map to input-image coordinates
         kp_x = xe * octave_scale
         kp_y = ye * octave_scale
@@ -535,7 +662,7 @@ _extract_jit = functools.partial(jax.jit, static_argnames=_EXTRACT_STATICS)(
 def _extract_batch_jit(
     images, height, width, num_octaves, S, first_octave, per_octave_kps,
     max_num_orientations, normalization, upright, peak_threshold, edge_threshold,
-    dsp_scales=(),
+    dsp_scales=(), affine_shape=False,
 ):
     """vmapped SIFT over a [B, H, W] stack of same-size images.
 
@@ -547,7 +674,7 @@ def _extract_batch_jit(
         return _extract_core(
             img, height, width, num_octaves, S, first_octave, per_octave_kps,
             max_num_orientations, normalization, upright, peak_threshold,
-            edge_threshold, dsp_scales,
+            edge_threshold, dsp_scales, affine_shape,
         )
 
     return jax.vmap(one)(images)
@@ -594,7 +721,7 @@ class Sift:
             per_octave, opts.max_num_orientations,
             int(opts.normalization), opts.upright,
             float(opts.peak_threshold), float(opts.edge_threshold),
-            dsp_scales,
+            dsp_scales, bool(opts.estimate_affine_shape),
         )
 
     def _postprocess(self, kp_x, kp_y, kp_s, kp_t, descs, mask):

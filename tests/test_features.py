@@ -52,6 +52,23 @@ class TestSift:
         kps_u, _ = sift.extract((img * 255).astype(np.uint8))
         assert abs(len(kps_f) - len(kps_u)) <= max(3, 0.05 * len(kps_f))
 
+    def test_affine_shape(self):
+        """estimate_affine_shape: valid shapes, still matchable features."""
+        from pycolmap_tpu.features import match_descriptors as md
+
+        opts = SiftExtractionOptions()
+        opts.max_num_features = 800
+        opts.estimate_affine_shape = True
+        s = Sift(opts)
+        img = blob_image(7)
+        kps, descs = s.extract(img)
+        assert len(kps) > 20
+        assert np.isfinite(descs).all()
+        # affine-adapted features still match across a small shift
+        kps2, descs2 = s.extract(np.roll(img, 4, axis=1))
+        m = md(descs, descs2)
+        assert len(m) > 0.4 * min(len(kps), len(kps2))
+
     def test_extract_batch_matches_single(self, sift):
         """vmapped batch path returns the same features as per-image calls."""
         imgs = [blob_image(s) for s in (3, 4, 5)]

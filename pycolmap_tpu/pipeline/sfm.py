@@ -171,11 +171,15 @@ def _iterative_global_refinement(mapper, options):
     t0 = _time.perf_counter()
     mapper.triangulator.clear_cache()
     mapper.triangulator.complete_tracks()
+    tc = _time.perf_counter()
     mapper.triangulator.merge_tracks()
+    tm = _time.perf_counter()
     mapper.triangulator.retriangulate()
     if _PROFILE:
         log.info(
-            f"profile global pre-tri: {_time.perf_counter() - t0:.2f}s"
+            f"profile global pre-tri: {_time.perf_counter() - t0:.2f}s "
+            f"(complete {tc - t0:.2f}s merge {tm - tc:.2f}s "
+            f"retri {_time.perf_counter() - tm:.2f}s)"
         )
     for _ in range(options.ba_global_max_refinements):
         t1 = _time.perf_counter()
@@ -187,12 +191,15 @@ def _iterative_global_refinement(mapper, options):
         t2 = _time.perf_counter()
         mapper.triangulator.clear_cache()
         mapper.triangulator.complete_tracks()
+        t2c = _time.perf_counter()
         mapper.triangulator.merge_tracks()
+        t2m = _time.perf_counter()
         mapper.filter_points(options.get_mapper())
         if _PROFILE:
             log.info(
                 f"profile global round: ba {t2 - t1:.2f}s "
-                f"tri+filter {_time.perf_counter() - t2:.2f}s "
+                f"complete {t2c - t2:.2f}s merge {t2m - t2c:.2f}s "
+                f"filter {_time.perf_counter() - t2m:.2f}s "
                 f"(it={summary.num_iterations})"
             )
         if summary.initial_cost <= 0:

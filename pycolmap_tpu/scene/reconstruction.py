@@ -432,11 +432,11 @@ class Reconstruction:
             centers[i] = self.images[i].projection_center()
         rays = centers[iids] - xyz
         norms = np.linalg.norm(rays, axis=1)
-        unit = rays / np.maximum(norms, 1e-12)[:, None]
+        unit = (rays / np.maximum(norms, 1e-12)[:, None]).astype(np.float32)
         order = np.argsort(pids, kind="stable")
         spids = pids[order]
         sunit = unit[order]
-        svalid = (norms[order] > 1e-12).astype(np.float64)
+        svalid = (norms[order] > 1e-12).astype(np.float32)
         starts = np.nonzero(np.diff(spids, prepend=spids[0] - 1))[0]
         counts = np.diff(np.append(starts, len(spids)))
         P = len(starts)
@@ -444,16 +444,21 @@ class Reconstruction:
         rowidx = np.repeat(np.arange(P), counts)
         colidx = np.arange(len(spids)) - np.repeat(starts, counts)
         keep = colidx < T
-        grid = np.zeros((P, T, 3))
-        gmask = np.zeros((P, T))
+        grid = np.zeros((P, T, 3), dtype=np.float32)
+        gmask = np.zeros((P, T), dtype=np.float32)
         grid[rowidx[keep], colidx[keep]] = sunit[keep]
         gmask[rowidx[keep], colidx[keep]] = svalid[keep]
-        cosang = np.einsum("pti,psi->pts", grid, grid)
+        # batched sgemm (f32 matmul), not einsum-in-f64: this [P, T, T]
+        # pairwise test dominated local-BA filtering at dense track lengths
+        cosang = grid @ grid.transpose(0, 2, 1)
         pair_ok = (gmask[:, :, None] * gmask[:, None, :]) > 0
         diag = np.arange(T)
         pair_ok[:, diag, diag] = False
         # a point passes iff some valid pair has angle >= threshold
-        wide = np.any(pair_ok & (np.clip(cosang, -1, 1) <= min_cos), axis=(1, 2))
+        # (f32 rounding guard: 1e-6 on the cos comparison)
+        wide = np.any(
+            pair_ok & (np.clip(cosang, -1, 1) <= min_cos + 1e-6), axis=(1, 2)
+        )
         enough = gmask.sum(axis=1) >= 2
         kill = enough & ~wide
         upids = spids[starts]

@@ -471,13 +471,19 @@ class IncrementalMapper:
         new_problem, summary = solve_bundle(problem, ba_options)
         _t3 = _time.perf_counter()
         apply_bundle_solution(rec, new_problem, mapping)
-        # filter points touched by the local bundle
+        _t3b = _time.perf_counter()
+        # filter points touched by the local bundle (vectorized collection)
         touched = set()
         for iid in local:
             img = rec.images[iid]
-            for idx in img.get_observation_points2D_idxs():
-                touched.add(int(img.points2D_point3D_ids[idx]))
-        rec.filter_points3D(
+            ids = img.points2D_point3D_ids
+            touched.update(
+                ids[ids != np.uint64(INVALID_POINT3D_ID)]
+                .view(np.int64)
+                .tolist()
+            )
+        _t3c = _time.perf_counter()
+        nfilt = rec.filter_points3D(
             options.filter_max_reproj_error, options.filter_min_tri_angle,
             point3D_ids=touched,
         )
@@ -488,8 +494,9 @@ class IncrementalMapper:
             _logging.get_logger().info(
                 f"profile local_ba detail: window {_t1 - _t0:.3f}s "
                 f"build {_t2 - _t1:.3f}s solve {_t3 - _t2:.3f}s "
-                f"apply+filter {_t4 - _t3:.3f}s "
-                f"({problem.num_obs} obs, {len(local)} imgs, it={summary.num_iterations})"
+                f"apply {_t3b - _t3:.3f}s touched {_t3c - _t3b:.3f}s "
+                f"filter {_t4 - _t3c:.3f}s ({nfilt} filtered, "
+                f"{problem.num_obs} obs, {len(local)} imgs, it={summary.num_iterations})"
             )
         return summary
 

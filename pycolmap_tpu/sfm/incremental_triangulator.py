@@ -115,6 +115,32 @@ class IncrementalTriangulator:
         # unchanged (the correspondence graph is static, so a pair's merge
         # test can only change when one of its tracks does)
         self._merge_tested = {}
+        # per-pid track length at last completion / merge candidate pass —
+        # bounds the CSR expansions to changed points (a dense graph
+        # expands ~degree x observations rows otherwise, every call)
+        self._completed_len = {}
+        self._merge_len = {}
+
+    def _changed_pid_mask(self, memo: dict):
+        """(sorted pid table [P], changed-at-this-length mask [P])."""
+        rec = self.reconstruction
+        P = len(rec.points3D)
+        if P == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+        pid_arr = np.fromiter(rec.points3D.keys(), np.int64, P)
+        lens = np.fromiter(
+            (pt.track.length() for pt in rec.points3D.values()), np.int64, P
+        )
+        prev = np.fromiter(
+            (memo.get(int(p), -1) for p in pid_arr), np.int64, P
+        )
+        order = np.argsort(pid_arr)
+        return pid_arr[order], (lens != prev)[order]
+
+    def _update_len_memo(self, memo: dict, sel_set=None):
+        for pid, pt in self.reconstruction.points3D.items():
+            if sel_set is None or pid in sel_set:
+                memo[pid] = pt.track.length()
 
     # -- helpers -------------------------------------------------------------
     def _camera_ok(self, camera) -> bool:
@@ -370,7 +396,15 @@ class IncrementalTriangulator:
             pos = np.searchsorted(sel_arr, flat_pid)
             pos_safe = np.minimum(pos, len(sel_arr) - 1)
             src_mask &= sel_arr[pos_safe] == flat_pid
+        # expand only points whose tracks changed since the last merge pass
+        memo_tab, memo_changed = self._changed_pid_mask(self._merge_len)
+        if len(memo_tab):
+            mpos = np.searchsorted(memo_tab, flat_pid)
+            mpos_safe = np.minimum(mpos, len(memo_tab) - 1)
+            known = memo_tab[mpos_safe] == flat_pid
+            src_mask &= known & memo_changed[mpos_safe]
         src_nodes = np.nonzero(src_mask)[0]
+        self._update_len_memo(self._merge_len, sel_set)
         if len(src_nodes) == 0:
             return []
         indptr, adj = lix.indptr, lix.adj
@@ -488,6 +522,7 @@ class IncrementalTriangulator:
         node_image = lix.node_image
         node_idx = lix.node_idx
         num = 0
+        sel_set = set(sel_arr.tolist()) if sel_arr is not None else None
         for _round in range(max(opts.complete_max_transitivity, 0)):
             flat_pid, reg_flag = lix.refresh()
             src_mask = flat_pid >= 0
@@ -495,7 +530,16 @@ class IncrementalTriangulator:
                 pos = np.searchsorted(sel_arr, flat_pid)
                 pos_safe = np.minimum(pos, len(sel_arr) - 1)
                 src_mask &= sel_arr[pos_safe] == flat_pid
+            # expand only points whose tracks changed since their last
+            # completion pass (O(changed x degree) instead of O(all edges))
+            memo_tab, memo_changed = self._changed_pid_mask(self._completed_len)
+            if len(memo_tab):
+                mpos = np.searchsorted(memo_tab, flat_pid)
+                mpos_safe = np.minimum(mpos, len(memo_tab) - 1)
+                known = memo_tab[mpos_safe] == flat_pid
+                src_mask &= known & memo_changed[mpos_safe]
             src_nodes = np.nonzero(src_mask)[0]
+            self._update_len_memo(self._completed_len, sel_set)
             if len(src_nodes) == 0:
                 break
             starts = indptr[src_nodes]

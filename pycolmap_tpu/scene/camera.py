@@ -199,7 +199,10 @@ class Camera:
     # Below this batch size a host-side numpy evaluation beats the device
     # round-trip (which costs ~10ms+ per call through the TPU tunnel); the
     # numpy twins are cross-checked against the JAX kernels in tests.
-    _NP_FASTPATH_MAX = 4096
+    # Measured: vectorized numpy projection runs ~100M pts/s, so even
+    # 1M-point batches beat one tunnel dispatch — the device path only pays
+    # off inside larger fused computations, not for standalone calls.
+    _NP_FASTPATH_MAX = 1_000_000
 
     def img_from_cam(self, cam_points: np.ndarray) -> np.ndarray:
         """Normalized camera-plane points [N,2] (or [N,3] hom.) -> pixels [N,2]."""

@@ -603,27 +603,50 @@ def _lm_solve_bucketed(
             p_intr = r_intr / jnp.where(denom < 1e-8, 1.0, denom)
             return p_pose, p_intr * intr_free
 
+        # bf16 Jacobian replicas for the CG stream: the matvec re-reads the
+        # [2, 21, T, P] J planes every CG iteration and is HBM-bound; bf16
+        # halves the traffic. Accumulations stay f32
+        # (preferred_element_type); the LM accept/reject cost test and the
+        # gradient/RHS/preconditioner all use the f32 J, so bf16 only
+        # perturbs the CG search direction, which PCG self-corrects.
+        J16_l = [J.astype(jnp.bfloat16) for J in J_l]
+
         def matvec(x_pose, x_intr):
             out_pose = damp_pose * x_pose
             out_intr = damp_intr * x_intr
-            for b, J, Vinv, onehot_i, onehot_c in zip(
-                buckets, J_l, Vinv_l, onehots_img, onehots_cam
+            for b, J16, Vinv, onehot_i, onehot_c in zip(
+                buckets, J16_l, Vinv_l, onehots_img, onehots_cam
             ):
                 if onehot_i is not None:
                     xp = _gather_mm(x_pose, onehot_i, b.mask.shape)
                     xi = _gather_mm(x_intr, onehot_c, b.mask.shape)
                 else:
-                    xp = _gather_table(x_pose, b.img_idx)  # 6 x [T,P]
-                    xi = _gather_table(x_intr, b.cam_idx)
-                a_obs = sum(J[:, k] * xp[k][None] for k in range(6)) + sum(
-                    J[:, 6 + k] * xi[k][None] for k in range(MAX_PARAMS)
+                    xp = jnp.stack(_gather_table(x_pose, b.img_idx))
+                    xi = jnp.stack(_gather_table(x_intr, b.cam_idx))
+                xc = jnp.concatenate([xp, xi]).astype(jnp.bfloat16)  # [18,T,P]
+                a_obs = jnp.einsum(
+                    "rkts,kts->rts", J16[:, :18], xc,
+                    preferred_element_type=jnp.float32,
                 )  # [2, T, P]
-                y_p = jnp.einsum("rkts,rts->ks", J[:, 18:21], a_obs)
+                y_p = jnp.einsum(
+                    "rkts,rts->ks", J16[:, 18:21], a_obs.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
                 z_p = jnp.stack(_sym3_apply(Vinv, (y_p[0], y_p[1], y_p[2])))
-                d = a_obs - jnp.einsum("rkts,ks->rts", J[:, 18:21], z_p)
-                op = jnp.einsum("rkts,rts->kts", J[:, :6], d)
+                d = a_obs - jnp.einsum(
+                    "rkts,ks->rts", J16[:, 18:21], z_p.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                d16 = d.astype(jnp.bfloat16)
+                op = jnp.einsum(
+                    "rkts,rts->kts", J16[:, :6], d16,
+                    preferred_element_type=jnp.float32,
+                )
                 out_pose = out_pose + _scatter_cam(op, onehot_i, b.img_idx, I)
-                oi = jnp.einsum("rkts,rts->kts", J[:, 6:18], d)
+                oi = jnp.einsum(
+                    "rkts,rts->kts", J16[:, 6:18], d16,
+                    preferred_element_type=jnp.float32,
+                )
                 out_intr = out_intr + _scatter_cam(oi, onehot_c, b.cam_idx, C)
             return out_pose * pose_free, out_intr * intr_free
 

@@ -313,9 +313,13 @@ class IncrementalMapper:
     # -- next image selection ------------------------------------------------
     def find_next_images(self, options: IncrementalMapperOptions):
         """Rank unregistered images by visible-point score (upstream
-        FindNextImages; score per scene/image.h:207-215). Vectorized: one
-        CSR slice + per-registered-image mask pass per candidate."""
+        FindNextImages; score per scene/image.h:207-215). Per candidate:
+        one O(keypoints) read of the LinkIndex vis counts — no edge
+        expansion."""
         rec = self.reconstruction
+        lix = self.link_index
+        lix.refresh()
+        vc = lix.vis_count
         scores = []
         for iid, img in rec.images.items():
             if img.registered:
@@ -326,8 +330,8 @@ class IncrementalMapper:
                 continue
             if img.num_points2D == 0:
                 continue
-            indptr, pid = self._linked_pids_for_image(iid)
-            per_kp_vis = self._segment_any(pid >= 0, indptr)
+            b = lix.base[iid]
+            per_kp_vis = vc[b : b + img.num_points2D] > 0
             nvis = int(per_kp_vis.sum())
             if nvis < options.abs_pose_min_num_inliers:
                 continue

@@ -37,6 +37,12 @@ class LinkIndex:
         self._epochs: dict[int, int] = {}
         max_iid = max(base) if base else 0
         self._reg_flag = np.zeros(max_iid + 1, dtype=bool)
+        # per-node count of linked correspondents, maintained by diffing
+        # link changes against the applied state: next-image scoring reads
+        # vis_count[node] > 0 instead of expanding the node's edge list
+        # (O(keypoints) instead of O(edges) per candidate)
+        self.vis_count = np.zeros(total, dtype=np.int32)
+        self._applied_linked = np.zeros(total, dtype=bool)
 
     def refresh(self):
         """Returns (flat_pid [total_nodes] int64, reg_flag [max_iid+1] bool),
@@ -54,7 +60,27 @@ class LinkIndex:
             self._epochs[iid] = ep
             ids = img.points2D_point3D_ids
             # uint64 view as int64: INVALID (2^64-1) becomes exactly -1
-            flat[b : b + len(ids)] = ids.view(np.int64)
+            seg = slice(b, b + len(ids))
+            flat[seg] = ids.view(np.int64)
+            # propagate linked-state deltas into neighbors' vis counts
+            new_linked = flat[seg] >= 0
+            old_linked = self._applied_linked[seg]
+            changed = np.nonzero(new_linked != old_linked)[0]
+            if len(changed):
+                nodes = changed + b
+                starts = self.indptr[nodes]
+                lens = self.indptr[nodes + 1] - starts
+                sign = np.where(new_linked[changed], 1, -1).astype(np.int32)
+                total_e = int(lens.sum())
+                if total_e:
+                    base_off = np.repeat(
+                        starts - (np.cumsum(lens) - lens), lens
+                    )
+                    tgt = self.adj[np.arange(total_e) + base_off]
+                    np.add.at(
+                        self.vis_count, tgt, np.repeat(sign, lens)
+                    )
+                self._applied_linked[seg] = new_linked
         return flat, self._reg_flag
 
     def image_edges(self, image_id: int, num_points2D: int):

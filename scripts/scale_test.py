@@ -16,7 +16,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 import numpy as np
 
 
-def main(num_images=60, num_points=3000, out="/tmp/scale_test"):
+def main(num_images=60, num_points=3000, out="/tmp/scale_test",
+         mode="orbit", match_overlap=None):
     from test_incremental_mapping import make_synthetic_database
 
     from pycolmap_tpu.pipeline.sfm import (
@@ -31,9 +32,13 @@ def main(num_images=60, num_points=3000, out="/tmp/scale_test"):
         db.unlink()
     t0 = time.time()
     gt = make_synthetic_database(
-        db, num_images=num_images, num_points=num_points, pixel_noise=0.4
+        db, num_images=num_images, num_points=num_points, pixel_noise=0.4,
+        mode=mode, match_overlap=match_overlap,
     )
-    print(f"synthetic db ({num_images} imgs, {num_points} pts): {time.time()-t0:.1f}s")
+    print(
+        f"synthetic db ({num_images} imgs, {num_points} pts, {mode}): "
+        f"{time.time()-t0:.1f}s"
+    )
 
     options = IncrementalPipelineOptions()
     options.min_model_size = 6
@@ -61,5 +66,10 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--num_images", type=int, default=60)
     p.add_argument("--num_points", type=int, default=3000)
+    p.add_argument("--mode", default="orbit", choices=["orbit", "sequential"])
+    p.add_argument("--match_overlap", type=int, default=None)
     args = p.parse_args()
-    main(args.num_images, args.num_points)
+    main(
+        args.num_images, args.num_points,
+        mode=args.mode, match_overlap=args.match_overlap,
+    )

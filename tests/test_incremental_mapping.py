@@ -19,29 +19,55 @@ from pycolmap_tpu.scene import Camera, Database, DatabaseTransaction, Image
 
 
 def make_synthetic_database(
-    db_path, num_images=8, num_points=300, pixel_noise=0.4, seed=0
+    db_path, num_images=8, num_points=300, pixel_noise=0.4, seed=0,
+    mode="orbit", match_overlap=None,
 ):
     """Ground-truth scene written as a COLMAP database: cameras, images,
-    keypoints (+noise), and verified two-view geometries from true matches."""
+    keypoints (+noise), and verified two-view geometries from true matches.
+
+    mode="orbit": all cameras see the same point cloud (dense pair graph);
+    mode="sequential": forward-moving trajectory over an extended scene —
+    points are only visible from a window of frames and matching is
+    restricted to |i - j| <= match_overlap (C4-style sparse graph).
+    """
     rng = np.random.default_rng(seed)
     cam = Camera.create(0, "SIMPLE_PINHOLE", 600.0, 640, 480)
-    target = np.array([0.0, 0.0, 5.0])
-    points = rng.uniform(-1.5, 1.5, (num_points, 3)) + target
 
     poses = []
-    for i in range(num_images):
-        theta = -0.6 + i * (1.2 / max(num_images - 1, 1))
-        center = target + 5.0 * np.array(
-            [np.sin(theta), 0.15 * np.sin(2 * theta), -np.cos(theta)]
+    if mode == "sequential":
+        step = 0.3
+        span = num_images * step + 5.0
+        points = np.stack(
+            [
+                rng.uniform(-1.0, span, num_points),
+                rng.uniform(-2.0, 2.0, num_points),
+                rng.uniform(4.0, 7.0, num_points),
+            ],
+            axis=1,
         )
-        fwd = target - center
-        fwd /= np.linalg.norm(fwd)
-        up = np.array([0.0, -1.0, 0.0])
-        right = np.cross(up, fwd)
-        right /= np.linalg.norm(right)
-        up2 = np.cross(fwd, right)
-        R_wc = np.stack([right, up2, fwd], axis=0)
-        poses.append(Rigid3d(Rotation3d(R_wc), -R_wc @ center))
+        for i in range(num_images):
+            # gentle yaw oscillation so poses are not a degenerate line
+            yaw = 0.08 * np.sin(0.3 * i)
+            c, s = np.cos(yaw), np.sin(yaw)
+            R_wc = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+            center = np.array([i * step, 0.1 * np.sin(0.5 * i), 0.0])
+            poses.append(Rigid3d(Rotation3d(R_wc), -R_wc @ center))
+    else:
+        target = np.array([0.0, 0.0, 5.0])
+        points = rng.uniform(-1.5, 1.5, (num_points, 3)) + target
+        for i in range(num_images):
+            theta = -0.6 + i * (1.2 / max(num_images - 1, 1))
+            center = target + 5.0 * np.array(
+                [np.sin(theta), 0.15 * np.sin(2 * theta), -np.cos(theta)]
+            )
+            fwd = target - center
+            fwd /= np.linalg.norm(fwd)
+            up = np.array([0.0, -1.0, 0.0])
+            right = np.cross(up, fwd)
+            right /= np.linalg.norm(right)
+            up2 = np.cross(fwd, right)
+            R_wc = np.stack([right, up2, fwd], axis=0)
+            poses.append(Rigid3d(Rotation3d(R_wc), -R_wc @ center))
 
     # per-image keypoints = projections of visible points (+ noise), with a
     # random permutation so keypoint index != point index
@@ -78,6 +104,8 @@ def make_synthetic_database(
         # verified pairs from ground-truth correspondences
         for i in range(num_images):
             for j in range(i + 1, num_images):
+                if match_overlap is not None and j - i > match_overlap:
+                    continue
                 common, ii, jj = np.intersect1d(
                     kp_pid[i], kp_pid[j], return_indices=True
                 )

@@ -603,13 +603,16 @@ def _lm_solve_bucketed(
             p_intr = r_intr / jnp.where(denom < 1e-8, 1.0, denom)
             return p_pose, p_intr * intr_free
 
-        # bf16 Jacobian replicas for the CG stream: the matvec re-reads the
-        # [2, 21, T, P] J planes every CG iteration and is HBM-bound; bf16
-        # halves the traffic. Accumulations stay f32
-        # (preferred_element_type); the LM accept/reject cost test and the
-        # gradient/RHS/preconditioner all use the f32 J, so bf16 only
-        # perturbs the CG search direction, which PCG self-corrects.
-        J16_l = [J.astype(jnp.bfloat16) for J in J_l]
+        # CG-stream Jacobian dtype. bf16 replicas were measured SLOWER here:
+        # bf16 tiles are (16, 128) and the dominant track-length bucket has
+        # T=8, so the halved traffic is eaten by sublane padding (plus the
+        # per-LM-iteration cast of [2, 21, T, P]). Kept as a knob — revisit
+        # if bucket shapes change.
+        _CG_DTYPE = jnp.float32
+        J16_l = [
+            J if _CG_DTYPE == jnp.float32 else J.astype(_CG_DTYPE)
+            for J in J_l
+        ]
 
         def matvec(x_pose, x_intr):
             out_pose = damp_pose * x_pose
@@ -623,21 +626,21 @@ def _lm_solve_bucketed(
                 else:
                     xp = jnp.stack(_gather_table(x_pose, b.img_idx))
                     xi = jnp.stack(_gather_table(x_intr, b.cam_idx))
-                xc = jnp.concatenate([xp, xi]).astype(jnp.bfloat16)  # [18,T,P]
+                xc = jnp.concatenate([xp, xi]).astype(_CG_DTYPE)  # [18,T,P]
                 a_obs = jnp.einsum(
                     "rkts,kts->rts", J16[:, :18], xc,
                     preferred_element_type=jnp.float32,
                 )  # [2, T, P]
                 y_p = jnp.einsum(
-                    "rkts,rts->ks", J16[:, 18:21], a_obs.astype(jnp.bfloat16),
+                    "rkts,rts->ks", J16[:, 18:21], a_obs.astype(_CG_DTYPE),
                     preferred_element_type=jnp.float32,
                 )
                 z_p = jnp.stack(_sym3_apply(Vinv, (y_p[0], y_p[1], y_p[2])))
                 d = a_obs - jnp.einsum(
-                    "rkts,ks->rts", J16[:, 18:21], z_p.astype(jnp.bfloat16),
+                    "rkts,ks->rts", J16[:, 18:21], z_p.astype(_CG_DTYPE),
                     preferred_element_type=jnp.float32,
                 )
-                d16 = d.astype(jnp.bfloat16)
+                d16 = d.astype(_CG_DTYPE)
                 op = jnp.einsum(
                     "rkts,rts->kts", J16[:, :6], d16,
                     preferred_element_type=jnp.float32,

@@ -46,7 +46,13 @@ def get_lib():
         return _lib
     _tried = True
     try:
-        if not _LIB_PATH.exists():
+        src = _HERE / "graph_ops.cc"
+        stale = (
+            _LIB_PATH.exists()
+            and src.exists()
+            and _LIB_PATH.stat().st_mtime < src.stat().st_mtime
+        )
+        if not _LIB_PATH.exists() or stale:
             if not _build():
                 return None
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -60,6 +66,17 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.expand_complete_candidates.restype = ctypes.c_int64
+        lib.expand_complete_candidates.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.expand_merge_pairs.restype = ctypes.c_int64
+        lib.expand_merge_pairs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
         _lib = lib
     except Exception:
@@ -106,3 +123,36 @@ class GraphTraversal:
         )
         n = min(n, len(out))
         return out[:n], depth[:n]
+
+    def expand_complete_candidates(self, node_image, flat_pid, reg_flag,
+                                   src_nodes):
+        """(target nodes, source pids) for unlinked registered targets of
+        the source nodes' edges, deduped by target (first pid wins)."""
+        node_image = np.ascontiguousarray(node_image, dtype=np.int32)
+        flat_pid = np.ascontiguousarray(flat_pid, dtype=np.int64)
+        reg_flag = np.ascontiguousarray(reg_flag, dtype=np.uint8)
+        src_nodes = np.ascontiguousarray(src_nodes, dtype=np.int64)
+        cap = max(self.num_nodes, 1)
+        out_tgt = np.empty(cap, dtype=np.int64)
+        out_pid = np.empty(cap, dtype=np.int64)
+        n = self._lib.expand_complete_candidates(
+            _ptr(self.indptr), _ptr(self.adj), _ptr(node_image),
+            _ptr(flat_pid), _ptr(reg_flag), _ptr(src_nodes), len(src_nodes),
+            _ptr(out_tgt), _ptr(out_pid), cap, _ptr(self._visited),
+        )
+        n = min(n, cap)
+        return out_tgt[:n], out_pid[:n]
+
+    def expand_merge_pairs(self, flat_pid, src_nodes):
+        """Unique packed (min_pid << 32 | max_pid) codes of linked-linked
+        edges with distinct pids among the source nodes' edges."""
+        flat_pid = np.ascontiguousarray(flat_pid, dtype=np.int64)
+        src_nodes = np.ascontiguousarray(src_nodes, dtype=np.int64)
+        degs = self.indptr[src_nodes + 1] - self.indptr[src_nodes]
+        cap = int(degs.sum()) + 1  # exact bound: one code per edge
+        out = np.empty(cap, dtype=np.int64)
+        n = self._lib.expand_merge_pairs(
+            _ptr(self.indptr), _ptr(self.adj), _ptr(flat_pid),
+            _ptr(src_nodes), len(src_nodes), _ptr(out), cap,
+        )
+        return out[: min(n, cap)]

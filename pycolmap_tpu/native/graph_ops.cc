@@ -11,6 +11,7 @@
 //
 // Build: cc -O3 -shared -fPIC graph_ops.cc -o libgraph_ops.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -98,6 +99,63 @@ int64_t bfs_component(const int64_t* indptr, const int64_t* adj,
   }
   for (int64_t node : touched) visited[node] = 0;
   return count;
+}
+
+// Track-completion candidate expansion (the hot loop of upstream
+// IncrementalTriangulator::Complete): for every edge of the given source
+// nodes, emit (target_node, source_pid) where the target keypoint is
+// unlinked and its image registered — deduped by target, first pid wins.
+// visited: num_nodes scratch, zero on entry, re-zeroed on exit.
+int64_t expand_complete_candidates(
+    const int64_t* indptr, const int64_t* adj, const int32_t* node_image,
+    const int64_t* flat_pid, const uint8_t* reg_flag,
+    const int64_t* src_nodes, int64_t n_src, int64_t* out_tgt,
+    int64_t* out_pid, int64_t out_cap, uint8_t* visited) {
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_src; ++i) {
+    const int64_t node = src_nodes[i];
+    const int64_t pid = flat_pid[node];
+    for (int64_t e = indptr[node]; e < indptr[node + 1]; ++e) {
+      const int64_t tgt = adj[e];
+      if (visited[tgt]) continue;
+      if (flat_pid[tgt] >= 0) continue;
+      if (!reg_flag[node_image[tgt]]) continue;
+      visited[tgt] = 1;
+      if (count < out_cap) {
+        out_tgt[count] = tgt;
+        out_pid[count] = pid;
+      }
+      ++count;
+    }
+  }
+  const int64_t n = count < out_cap ? count : out_cap;
+  for (int64_t i = 0; i < n; ++i) visited[out_tgt[i]] = 0;
+  return count;
+}
+
+// Merge candidate expansion (upstream MergeAllTracks): unique (min, max)
+// point-id pairs joined by an edge whose two endpoints link different
+// points. Dedup via sort of packed 64-bit codes (pids < 2^32).
+int64_t expand_merge_pairs(
+    const int64_t* indptr, const int64_t* adj, const int64_t* flat_pid,
+    const int64_t* src_nodes, int64_t n_src, int64_t* out_codes,
+    int64_t out_cap) {
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_src; ++i) {
+    const int64_t node = src_nodes[i];
+    const int64_t spid = flat_pid[node];
+    for (int64_t e = indptr[node]; e < indptr[node + 1]; ++e) {
+      const int64_t tpid = flat_pid[adj[e]];
+      if (tpid < 0 || tpid == spid) continue;
+      const int64_t a = spid < tpid ? spid : tpid;
+      const int64_t b = spid < tpid ? tpid : spid;
+      if (count < out_cap) out_codes[count] = (a << 32) | b;
+      ++count;
+    }
+  }
+  const int64_t n = count < out_cap ? count : out_cap;
+  std::sort(out_codes, out_codes + n);
+  return std::unique(out_codes, out_codes + n) - out_codes;
 }
 
 }  // extern "C"

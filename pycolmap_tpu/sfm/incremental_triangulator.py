@@ -407,25 +407,31 @@ class IncrementalTriangulator:
         self._update_len_memo(self._merge_len, sel_set)
         if len(src_nodes) == 0:
             return []
-        indptr, adj = lix.indptr, lix.adj
-        starts = indptr[src_nodes]
-        lens = indptr[src_nodes + 1] - starts
-        nz = lens > 0
-        src_nodes, starts, lens = src_nodes[nz], starts[nz], lens[nz]
-        total = int(lens.sum())
-        if total == 0:
+        trav = self.graph._get_traversal()
+        if trav is not None:
+            codes = trav.expand_merge_pairs(flat_pid, src_nodes)
+        else:
+            indptr, adj = lix.indptr, lix.adj
+            starts = indptr[src_nodes]
+            lens = indptr[src_nodes + 1] - starts
+            nz = lens > 0
+            src_nodes, starts, lens = src_nodes[nz], starts[nz], lens[nz]
+            total = int(lens.sum())
+            if total == 0:
+                return []
+            row = np.repeat(np.arange(len(src_nodes)), lens)
+            base = np.repeat(starts - (np.cumsum(lens) - lens), lens)
+            tgt = adj[np.arange(total) + base]
+            spid = flat_pid[src_nodes][row]
+            tpid = flat_pid[tgt]
+            ok = (tpid >= 0) & (tpid != spid)
+            if not ok.any():
+                return []
+            a = np.minimum(spid[ok], tpid[ok])
+            b = np.maximum(spid[ok], tpid[ok])
+            codes = np.unique(a << np.int64(32) | b)
+        if len(codes) == 0:
             return []
-        row = np.repeat(np.arange(len(src_nodes)), lens)
-        base = np.repeat(starts - (np.cumsum(lens) - lens), lens)
-        tgt = adj[np.arange(total) + base]
-        spid = flat_pid[src_nodes][row]
-        tpid = flat_pid[tgt]
-        ok = (tpid >= 0) & (tpid != spid)
-        if not ok.any():
-            return []
-        a = np.minimum(spid[ok], tpid[ok])
-        b = np.maximum(spid[ok], tpid[ok])
-        codes = np.unique(a << np.int64(32) | b)
         pairs = []
         for code in codes.tolist():
             pa, pb = code >> 32, code & 0xFFFFFFFF
@@ -542,26 +548,35 @@ class IncrementalTriangulator:
             self._update_len_memo(self._completed_len, sel_set)
             if len(src_nodes) == 0:
                 break
-            starts = indptr[src_nodes]
-            lens = indptr[src_nodes + 1] - starts
-            nz = lens > 0
-            src_nodes, starts, lens = src_nodes[nz], starts[nz], lens[nz]
-            total = int(lens.sum())
-            if total == 0:
-                break
-            row = np.repeat(np.arange(len(src_nodes)), lens)
-            base = np.repeat(starts - (np.cumsum(lens) - lens), lens)
-            tgt = adj[np.arange(total) + base]
-            cand_pid = flat_pid[src_nodes][row]
-            ok = (flat_pid[tgt] < 0) & reg_flag[node_image[tgt]]
-            tgt, cand_pid = tgt[ok], cand_pid[ok]
-            if len(tgt) == 0:
-                break
-            # one candidate pid per target keypoint (first in edge order)
-            order = np.argsort(tgt, kind="stable")
-            tgt, cand_pid = tgt[order], cand_pid[order]
-            firsts = np.diff(tgt, prepend=tgt[0] - 1) != 0
-            tgt, cand_pid = tgt[firsts], cand_pid[firsts]
+            trav = self.graph._get_traversal()
+            if trav is not None:
+                # native single-pass expansion + dedup (graph_ops.cc)
+                tgt, cand_pid = trav.expand_complete_candidates(
+                    node_image, flat_pid, reg_flag, src_nodes
+                )
+                if len(tgt) == 0:
+                    break
+            else:
+                starts = indptr[src_nodes]
+                lens = indptr[src_nodes + 1] - starts
+                nz = lens > 0
+                src_nodes, starts, lens = src_nodes[nz], starts[nz], lens[nz]
+                total = int(lens.sum())
+                if total == 0:
+                    break
+                row = np.repeat(np.arange(len(src_nodes)), lens)
+                base = np.repeat(starts - (np.cumsum(lens) - lens), lens)
+                tgt = adj[np.arange(total) + base]
+                cand_pid = flat_pid[src_nodes][row]
+                ok = (flat_pid[tgt] < 0) & reg_flag[node_image[tgt]]
+                tgt, cand_pid = tgt[ok], cand_pid[ok]
+                if len(tgt) == 0:
+                    break
+                # one candidate pid per target keypoint (first in edge order)
+                order = np.argsort(tgt, kind="stable")
+                tgt, cand_pid = tgt[order], cand_pid[order]
+                firsts = np.diff(tgt, prepend=tgt[0] - 1) != 0
+                tgt, cand_pid = tgt[firsts], cand_pid[firsts]
             # point positions
             pid_table, xyz_table = rec._point_table()
             if len(pid_table) == 0:

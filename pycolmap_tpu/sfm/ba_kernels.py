@@ -52,6 +52,18 @@ _BUCKET_TS = (4, 8, 16, 32, 64)
 MAX_TRACK = _BUCKET_TS[-1]
 _ONEHOT_MAX_SEGMENTS = 1024  # above this, fall back to segment_sum scatters
 
+# Dense-Schur cutoff on the reduced camera-system dimension D = 6*I + 12*C.
+# Below this, the reduced system S = U + damp - W Vinv W^T is materialized as
+# one dense [D, D] matrix via a single well-shaped [D, 3P] x [3P, D] MXU
+# matmul, and CG runs on it with [D,D]x[D] matvecs (~1 us each) instead of
+# 20 implicit matvecs that each stream J + one-hots from HBM through
+# narrow (18-wide) MXU contractions. Measured (2026-08-18, v5e, C3 scale:
+# 128 imgs / 600k obs): implicit CG costs 2.37 ms/matvec -> 47 ms of the
+# 93 ms LM iteration; the dense build replaces CG + the 6x6-block
+# preconditioner stage. Ceres makes the same tradeoff (DENSE_SCHUR is its
+# recommended type for <~a few hundred cameras).
+_DENSE_SCHUR_MAX_D = 2048
+
 
 class Bucket(NamedTuple):
     img_idx: jnp.ndarray  # [T, P] int32
@@ -177,10 +189,16 @@ def _gather_mm(table, onehot_t, shape):
 
     TPU rationale: XLA's 1-D gather with ~1M indices runs at <1 GB/s; the
     same selection as a [k, N] x [N, M] matmul is ~1 GFLOP of systolic work
-    and streams at full HBM bandwidth."""
+    and streams at full HBM bandwidth.
+
+    precision=HIGHEST is required for exactness: at default precision the
+    MXU truncates f32 operands to bf16, so gathered values (poses,
+    intrinsics) would silently lose ~3 decimal digits (measured 2026-08-18:
+    max err 7.5e-3 on unit-scale tables, 0.0 at HIGHEST)."""
     out = jax.lax.dot_general(
         table.T, onehot_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [k, M]
     return out.reshape((table.shape[1],) + shape)
 
@@ -406,6 +424,22 @@ def _inv3x3_planes(V):
     return inv
 
 
+def _chol3x3_planes(Vp):
+    """Closed-form Cholesky of packed SPD 3x3 planes.
+
+    Vp: [6, P] packed (a,b,c,d,e,f) = (00,01,02,11,12,22). Returns the six
+    nonzero entries of lower L with L L^T = V: (l00, l10, l20, l11, l21, l22).
+    """
+    a, b, c, d, e, f = Vp
+    l00 = jnp.sqrt(jnp.maximum(a, 1e-20))
+    l10 = b / l00
+    l20 = c / l00
+    l11 = jnp.sqrt(jnp.maximum(d - l10 * l10, 1e-20))
+    l21 = (e - l10 * l20) / l11
+    l22 = jnp.sqrt(jnp.maximum(f - l20 * l20 - l21 * l21, 1e-20))
+    return l00, l10, l20, l11, l21, l22
+
+
 def _sym3_apply(Vp, y):
     """Packed symmetric [6, P] times vector tuple (3 x [P])."""
     a, b, c, d, e, f = Vp
@@ -422,6 +456,10 @@ def _scatter_cam(values, onehot_t, idx, num_segments):
 
     onehot_t: transposed one-hot [num_segments, T*P] or None (-> segment_sum
     fallback). The contraction runs on the MXU; the [k, I] transpose is tiny.
+
+    precision=HIGHEST: default MXU precision rounds the f32 values to bf16
+    before the product with the 0/1 one-hot, corrupting gradient/Hessian
+    reductions (see _gather_mm).
     """
     k = values.shape[0]
     flat = values.reshape(k, -1)
@@ -429,9 +467,200 @@ def _scatter_cam(values, onehot_t, idx, num_segments):
         out = jax.lax.dot_general(
             flat, onehot_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [k, I]
         return out.T
     return jax.ops.segment_sum(flat.T, idx.reshape(-1), num_segments=num_segments)
+
+
+def _dense_schur_solve(
+    buckets, J_l, Vinv_l, onehots_img, onehots_cam, rhs_pose, rhs_intr,
+    lam, pose_free, intr_free, img2cam, I, C, cg_iters,
+):
+    """Materialize the reduced camera system S = U + damp - W Vinv W^T as a
+    dense [D, D] matrix (D = 6*I + MAX_PARAMS*C) and solve S x = rhs by PCG.
+
+    TPU rationale (see _DENSE_SCHUR_MAX_D): the Schur-correction term is
+    built as one MXU-friendly rank-3P product  B = Z Z^T  with
+    Z[(i,k), (a,p)] = sum_t onehot(img)  Jc^T Jp L  (L = chol(Vinv)), so the
+    dominant FLOPs land in a single [D, 3P] x [3P, D] matmul instead of
+    cg_iters implicit matvecs that each re-stream J and the one-hots from
+    HBM through 18-wide (mostly idle) MXU contractions.
+
+    Replaces Ceres' DENSE_SCHUR + dense Cholesky (reference exposes it via
+    pipeline/sfm.h:266-295 solver options); we keep PCG on the dense S with
+    the same SCHUR_JACOBI-style block preconditioner because XLA:TPU dense
+    factorizations are serial-panel bound, while [D,D]x[D] matvecs are ~free.
+    """
+    D = 6 * I + MAX_PARAMS * C
+    hi = jax.lax.Precision.HIGHEST
+
+    # Implementation notes (measured 2026-08-18, v5e, dominant T=8 bucket):
+    # - einsums like "rkts,rats->kats" lower to ~1%-utilization tiny-batched
+    #   gemms (7.2 ms); the same contraction as stacked elementwise FMAs
+    #   fuses on the VPU (1.2 ms). Everything below is hand-expanded.
+    # - Z is built by T broadcast-FMA sweeps (scatter-by-image keeping the
+    #   point axis is not matmul-shaped; a batched [I,T]x[T,18] gemm per
+    #   point runs at 0.9% MXU utilization).
+    # - Z Z^T runs at default precision: the MXU truncates the f32 operands
+    #   to bf16 (rel err ~1e-3 on S), which only perturbs the STEP direction
+    #   (inexact Newton, like truncated CG); cost accept/reject stays exact.
+    S = jnp.zeros((D, D), jnp.float32)
+    U_pp = jnp.zeros((I, 36))
+    U_pi = jnp.zeros((I, 6 * MAX_PARAMS))
+    U_ii = jnp.zeros((C, MAX_PARAMS, MAX_PARAMS))
+    for b, J, Vinv, oi, oc in zip(buckets, J_l, Vinv_l, onehots_img, onehots_cam):
+        T, P = b.mask.shape
+        Jc = J[:, :6]
+        Ji = J[:, 6:18]
+        Jp = J[:, 18:21]
+        l00, l10, l20, l11, l21, l22 = _chol3x3_planes(Vinv)
+        # JpL[r, a] = sum_b Jp[r, b] L[b, a]  (L lower-triangular)
+        JpL = (
+            Jp[:, 0] * l00[None] + Jp[:, 1] * l10[None] + Jp[:, 2] * l20[None],
+            Jp[:, 1] * l11[None] + Jp[:, 2] * l21[None],
+            Jp[:, 2] * l22[None],
+        )  # 3 x [2, T, P]
+        # W~ = Jc^T (Jp L) per obs: [18, 3, T, P] as elementwise stacks
+        W = [
+            [J[0, k] * JpL[a][0] + J[1, k] * JpL[a][1] for a in range(3)]
+            for k in range(18)
+        ]
+        # Z[(i,k),(a,p)] = sum_t OH[i,t,p] W[k,a,t,p]: T broadcast-FMA sweeps
+        oh3 = oi.reshape(I, T, P)
+        Zp = sum(
+            oh3[:, t, None, None, :]
+            * jnp.stack(
+                [jnp.stack([W[k][a][t] for a in range(3)]) for k in range(6)]
+            )[None]
+            for t in range(T)
+        )  # [I, 6, 3, P]
+        if C == 1:
+            # single camera: OH_c is all-ones over valid obs; padded obs have
+            # zero Jacobians, so the scatter is a plain sum over t
+            Zi = jnp.stack(
+                [
+                    jnp.stack([sum(W[6 + k][a][t] for t in range(T))
+                               for a in range(3)])
+                    for k in range(MAX_PARAMS)
+                ]
+            )[None]  # [1, 12, 3, P]
+        else:
+            oc3 = oc.reshape(C, T, P)
+            Zi = sum(
+                oc3[:, t, None, None, :]
+                * jnp.stack(
+                    [jnp.stack([W[6 + k][a][t] for a in range(3)])
+                     for k in range(MAX_PARAMS)]
+                )[None]
+                for t in range(T)
+            )  # [C, 12, 3, P]
+        Zf = jnp.concatenate(
+            [Zp.reshape(6 * I, 3 * P), Zi.reshape(MAX_PARAMS * C, 3 * P)]
+        )
+        S = S - jax.lax.dot_general(
+            Zf, Zf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # U blocks (pose-pose / pose-intr / intr-intr), elementwise products
+        # + HIGHEST-precision one-hot scatter matmuls (values must be exact)
+        upp = jnp.stack(
+            [J[0, k] * J[0, l] + J[1, k] * J[1, l]
+             for k in range(6) for l in range(6)]
+        )
+        U_pp = U_pp + _scatter_cam(upp, oi, b.img_idx, I)
+        upi = jnp.stack(
+            [J[0, k] * J[0, 6 + l] + J[1, k] * J[1, 6 + l]
+             for k in range(6) for l in range(MAX_PARAMS)]
+        )
+        U_pi = U_pi + _scatter_cam(upi, oi, b.img_idx, I)
+        # intr-intr via one well-shaped [24, M] x [M, 24] self-matmul
+        Jif = Ji.reshape(2 * MAX_PARAMS, T * P)
+        uii_rr = jax.lax.dot_general(
+            Jif, Jif, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        ).reshape(2, MAX_PARAMS, 2, MAX_PARAMS)
+        uii_full = uii_rr[0, :, 0, :] + uii_rr[1, :, 1, :]
+        if C == 1:
+            U_ii = U_ii + uii_full[None]
+        else:
+            uii = jnp.stack(
+                [Ji[0, k] * Ji[0, l] + Ji[1, k] * Ji[1, l]
+                 for k in range(MAX_PARAMS) for l in range(MAX_PARAMS)]
+            )
+            U_ii = U_ii + _scatter_cam(uii, oc, b.cam_idx, C).reshape(
+                C, MAX_PARAMS, MAX_PARAMS
+            )
+
+    U_pp = U_pp.reshape(I, 6, 6)
+    U_pi = U_pi.reshape(I, 6, MAX_PARAMS)
+    U_ii = U_ii.reshape(C, MAX_PARAMS, MAX_PARAMS)
+    damp_pose = lam * jnp.maximum(jnp.diagonal(U_pp, axis1=1, axis2=2), 1e-6)
+    damp_intr = lam * jnp.maximum(jnp.diagonal(U_ii, axis1=1, axis2=2), 1e-6)
+    U_pp = U_pp + jax.vmap(jnp.diag)(damp_pose)
+    U_ii = U_ii + jax.vmap(jnp.diag)(damp_intr)
+
+    # scatter U blocks into the dense system
+    arI = jnp.arange(I)
+    ar6 = jnp.arange(6)
+    arK = jnp.arange(MAX_PARAMS)
+    rows_p = 6 * arI[:, None, None] + ar6[None, :, None]  # [I, 6, 1]
+    cols_p = 6 * arI[:, None, None] + ar6[None, None, :]  # [I, 1, 6]
+    S = S.at[rows_p, cols_p].add(U_pp)
+    cols_i = 6 * I + MAX_PARAMS * img2cam[:, None, None] + arK[None, None, :]
+    S = S.at[rows_p, cols_i].add(U_pi)
+    S = S.at[cols_i.transpose(0, 2, 1), cols_p].add(U_pi.transpose(0, 2, 1))
+    arC = jnp.arange(C)
+    rows_c = 6 * I + MAX_PARAMS * arC[:, None, None] + arK[None, :, None]
+    cols_c = 6 * I + MAX_PARAMS * arC[:, None, None] + arK[None, None, :]
+    S = S.at[rows_c, cols_c].add(U_ii)
+
+    # fixed parameters: zero rows/cols, unit diagonal
+    free = jnp.concatenate([pose_free.reshape(-1), intr_free.reshape(-1)])
+    S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+
+    # block-Jacobi preconditioner from S's diagonal blocks
+    blk = S[: 6 * I, : 6 * I].reshape(I, 6, I, 6)[arI, :, arI, :]  # [I, 6, 6]
+    P_inv = jnp.linalg.inv(blk + 1e-6 * jnp.eye(6))
+    dint = jnp.diagonal(S)[6 * I:]
+    dint = jnp.where(jnp.abs(dint) < 1e-8, 1.0, dint)
+
+    rhs = jnp.concatenate([rhs_pose.reshape(-1), rhs_intr.reshape(-1)])
+
+    def precond(r):
+        zp = jnp.einsum(
+            "iab,ib->ia", P_inv, r[: 6 * I].reshape(I, 6)
+        ).reshape(-1)
+        zi = r[6 * I:] / dint
+        return jnp.concatenate([zp, zi]) * free
+
+    def matvec(x):
+        return jax.lax.dot_general(
+            S, x[:, None], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )[:, 0]
+
+    def cg_body(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        pAp = jnp.dot(p, Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    z0 = precond(rhs)
+    (x, *_), _ = jax.lax.scan(
+        cg_body, (jnp.zeros_like(rhs), rhs, z0, jnp.dot(rhs, z0)),
+        None, length=cg_iters,
+    )
+    x_pose = x[: 6 * I].reshape(I, 6) * pose_free
+    x_intr = x[6 * I:].reshape(C, MAX_PARAMS) * intr_free
+    return x_pose, x_intr
 
 
 # ---------------------------------------------------------------------------
@@ -442,9 +671,15 @@ def _scatter_cam(values, onehot_t, idx, num_segments):
 def _lm_solve_bucketed(
     buckets, quat0, trans0, intr0, pose_free, intr_free, num_images,
     num_cameras, model_id, loss_type, loss_scale, cg_iters, max_iterations,
+    img2cam=None,
 ):
     I, C = num_images, num_cameras
     use_onehot = I <= _ONEHOT_MAX_SEGMENTS
+    use_dense = (
+        img2cam is not None
+        and use_onehot
+        and (6 * I + MAX_PARAMS * C) <= _DENSE_SCHUR_MAX_D
+    )
 
     # Transposed one-hots serve both the matmul-gathers (full f32 value
     # precision) and the matmul-scatters; loop-invariant, computed once.
@@ -486,6 +721,58 @@ def _lm_solve_bucketed(
                 _robust_cost(sq, loss_type, loss_scale) * b2.mask
             )
         return cost
+
+    def _finish_step(
+        quat, trans, intr, pts_list, lam, cost, it, done,
+        x_pose, x_intr, J_l, Vinv_l, g_pt_l,
+    ):
+        # --- back-substitute points --------------------------------------
+        new_pts_list = []
+        for b, J, Vinv, g_pt, pts, oi, oc in zip(
+            buckets, J_l, Vinv_l, g_pt_l, pts_list, onehots_img, onehots_cam
+        ):
+            if oi is not None:
+                xp = _gather_mm(x_pose, oi, b.mask.shape)
+                xi = _gather_mm(x_intr, oc, b.mask.shape)
+            else:
+                xp = _gather_table(x_pose, b.img_idx)
+                xi = _gather_table(x_intr, b.cam_idx)
+            a_obs = sum(J[:, k] * xp[k][None] for k in range(6)) + sum(
+                J[:, 6 + k] * xi[k][None] for k in range(MAX_PARAMS)
+            )
+            bt = jnp.einsum("rkts,rts->ks", J[:, 18:21], a_obs)
+            dp = jnp.stack(
+                _sym3_apply(
+                    Vinv,
+                    (g_pt[0] - bt[0], g_pt[1] - bt[1], g_pt[2] - bt[2]),
+                )
+            )
+            new_pts_list.append(pts - dp * b.point_free[None])
+
+        # --- apply + accept/reject ---------------------------------------
+        wq, xq, yq, zq = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+        nq = bm.quat_boxplus_cf(
+            (wq, xq, yq, zq), (-x_pose[:, 0], -x_pose[:, 1], -x_pose[:, 2])
+        )
+        new_quat = jnp.stack(nq, axis=1)
+        new_trans = trans - x_pose[:, 3:6]
+        new_intr = intr - x_intr
+
+        new_cost = total_cost(new_quat, new_trans, new_intr, new_pts_list)
+        improved = new_cost < cost
+        quat = jnp.where(improved, new_quat, quat)
+        trans = jnp.where(improved, new_trans, trans)
+        intr = jnp.where(improved, new_intr, intr)
+        pts_out = [
+            jnp.where(improved, np_, op_)
+            for np_, op_ in zip(new_pts_list, pts_list)
+        ]
+        cost_out = jnp.where(improved, new_cost, cost)
+        lam = jnp.where(improved, jnp.maximum(lam / 3.0, 1e-10), lam * 4.0)
+        rel = (cost - cost_out) / jnp.maximum(cost, 1e-20)
+        done = jnp.logical_or(done, jnp.logical_and(improved, rel < 1e-7))
+        done = jnp.logical_or(done, lam > 1e10)
+        return quat, trans, intr, pts_out, lam, cost_out, it + 1, done
 
     def lm_step(state):
         quat, trans, intr, pts_list, lam, cost, it, done = state
@@ -548,6 +835,17 @@ def _lm_solve_bucketed(
             rhs_intr = rhs_intr - _scatter_cam(ri, onehot_c, b.cam_idx, C)
         rhs_pose = rhs_pose * pose_free
         rhs_intr = rhs_intr * intr_free
+
+        if use_dense:
+            x_pose, x_intr = _dense_schur_solve(
+                buckets, J_l, Vinv_l, onehots_img, onehots_cam,
+                rhs_pose, rhs_intr, lam, pose_free, intr_free, img2cam,
+                I, C, max(cg_iters, 64),
+            )
+            return _finish_step(
+                quat, trans, intr, pts_list, lam, cost, it, done,
+                x_pose, x_intr, J_l, Vinv_l, g_pt_l,
+            )
 
         # --- damping diagonals + SCHUR_JACOBI preconditioner --------------
         U_diag_pose = jnp.zeros((I, 6))
@@ -679,54 +977,10 @@ def _lm_solve_bucketed(
             None,
             length=cg_iters,
         )
-
-        # --- back-substitute points --------------------------------------
-        new_pts_list = []
-        for b, J, Vinv, g_pt, pts, oi, oc in zip(
-            buckets, J_l, Vinv_l, g_pt_l, pts_list, onehots_img, onehots_cam
-        ):
-            if oi is not None:
-                xp = _gather_mm(x_pose, oi, b.mask.shape)
-                xi = _gather_mm(x_intr, oc, b.mask.shape)
-            else:
-                xp = _gather_table(x_pose, b.img_idx)
-                xi = _gather_table(x_intr, b.cam_idx)
-            a_obs = sum(J[:, k] * xp[k][None] for k in range(6)) + sum(
-                J[:, 6 + k] * xi[k][None] for k in range(MAX_PARAMS)
-            )
-            bt = jnp.einsum("rkts,rts->ks", J[:, 18:21], a_obs)
-            dp = jnp.stack(
-                _sym3_apply(
-                    Vinv,
-                    (g_pt[0] - bt[0], g_pt[1] - bt[1], g_pt[2] - bt[2]),
-                )
-            )
-            new_pts_list.append(pts - dp * b.point_free[None])
-
-        # --- apply + accept/reject ---------------------------------------
-        wq, xq, yq, zq = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
-        nq = bm.quat_boxplus_cf(
-            (wq, xq, yq, zq), (-x_pose[:, 0], -x_pose[:, 1], -x_pose[:, 2])
+        return _finish_step(
+            quat, trans, intr, pts_list, lam, cost, it, done,
+            x_pose, x_intr, J_l, Vinv_l, g_pt_l,
         )
-        new_quat = jnp.stack(nq, axis=1)
-        new_trans = trans - x_pose[:, 3:6]
-        new_intr = intr - x_intr
-
-        new_cost = total_cost(new_quat, new_trans, new_intr, new_pts_list)
-        improved = new_cost < cost
-        quat = jnp.where(improved, new_quat, quat)
-        trans = jnp.where(improved, new_trans, trans)
-        intr = jnp.where(improved, new_intr, intr)
-        pts_out = [
-            jnp.where(improved, np_, op_)
-            for np_, op_ in zip(new_pts_list, pts_list)
-        ]
-        cost_out = jnp.where(improved, new_cost, cost)
-        lam = jnp.where(improved, jnp.maximum(lam / 3.0, 1e-10), lam * 4.0)
-        rel = (cost - cost_out) / jnp.maximum(cost, 1e-20)
-        done = jnp.logical_or(done, jnp.logical_and(improved, rel < 1e-7))
-        done = jnp.logical_or(done, lam > 1e10)
-        return quat, trans, intr, pts_out, lam, cost_out, it + 1, done
 
     def cond(state):
         *_, it, done = state
@@ -752,12 +1006,12 @@ def _lm_solve_bucketed(
 def _solve_bucketed_jit(
     buckets, quat0, trans0, intr0, pose_free, intr_free,
     num_images, num_cameras, model_id, loss_type, loss_scale,
-    cg_iters, max_iterations,
+    cg_iters, max_iterations, img2cam=None,
 ):
     return _lm_solve_bucketed(
         buckets, quat0, trans0, intr0, pose_free, intr_free,
         num_images, num_cameras, model_id, loss_type, loss_scale,
-        cg_iters, max_iterations,
+        cg_iters, max_iterations, img2cam=img2cam,
     )
 
 
@@ -824,6 +1078,16 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
             [intr_free, np.zeros((C_pad - C, intr_free.shape[1]), np.float32)]
         )
 
+    # image -> camera map (for dense-Schur pose-intrinsics cross blocks);
+    # dense path is disabled under a mesh (it materializes replicated [D, D])
+    img2cam = None
+    if mesh is None:
+        img2cam = np.zeros(I_pad, np.int32)
+        valid = np.asarray(problem.obs_mask) > 0
+        img2cam[np.asarray(problem.obs_image_idx)[valid]] = np.asarray(
+            problem.obs_camera_idx
+        )[valid]
+
     quat, trans, intr, pts_list, cost0, cost, it = _solve_bucketed_jit(
         buckets,
         cam_quat, cam_trans, intrinsics,
@@ -832,6 +1096,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
         int(options.loss_function_type),
         jnp.float32(options.loss_function_scale),
         cg_iters, int(options.max_num_iterations),
+        img2cam=img2cam,
     )
     # one batched D2H transfer for all results (per-array np.asarray would
     # cost a round-trip each)

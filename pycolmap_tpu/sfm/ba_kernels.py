@@ -424,6 +424,31 @@ def _inv3x3_planes(V):
     return inv
 
 
+def _jt_apply(Jsub, res):
+    """[2, k, T, P] x [2, T, P] -> [k, T, P]: per-obs J^T r.
+
+    Hand-expanded: einsum("rkts,rts->kts") lowers to a tiny-batched gemm at
+    ~1% MXU utilization (measured 6x slower than fused VPU stacks)."""
+    return jnp.stack(
+        [Jsub[0, k] * res[0] + Jsub[1, k] * res[1]
+         for k in range(Jsub.shape[1])]
+    )
+
+
+def _jt_apply_sum_t(Jsub, res):
+    """[2, k, T, P] x [2, T, P] -> [k, P]: J^T r reduced over the track axis
+    (point-local reduction; all observations of a point share a column)."""
+    return jnp.stack(
+        [jnp.sum(Jsub[0, k] * res[0] + Jsub[1, k] * res[1], axis=0)
+         for k in range(Jsub.shape[1])]
+    )
+
+
+def _j_apply_pt(Jsub, z):
+    """[2, k, T, P] x [k, P] -> [2, T, P]: apply point-block columns."""
+    return sum(Jsub[:, k] * z[k][None, None, :] for k in range(Jsub.shape[1]))
+
+
 def _chol3x3_planes(Vp):
     """Closed-form Cholesky of packed SPD 3x3 planes.
 
@@ -740,7 +765,7 @@ def _lm_solve_bucketed(
             a_obs = sum(J[:, k] * xp[k][None] for k in range(6)) + sum(
                 J[:, 6 + k] * xi[k][None] for k in range(MAX_PARAMS)
             )
-            bt = jnp.einsum("rkts,rts->ks", J[:, 18:21], a_obs)
+            bt = _jt_apply_sum_t(J[:, 18:21], a_obs)
             dp = jnp.stack(
                 _sym3_apply(
                     Vinv,
@@ -813,11 +838,11 @@ def _lm_solve_bucketed(
         for b, J, res, onehot_i, onehot_c in zip(
             buckets, J_l, res_l, onehots_img, onehots_cam
         ):
-            gp = jnp.einsum("rkts,rts->kts", J[:, :6], res)
+            gp = _jt_apply(J[:, :6], res)
             g_pose = g_pose + _scatter_cam(gp, onehot_i, b.img_idx, I)
-            gi = jnp.einsum("rkts,rts->kts", J[:, 6:18], res)
+            gi = _jt_apply(J[:, 6:18], res)
             g_intr = g_intr + _scatter_cam(gi, onehot_c, b.cam_idx, C)
-            g_pt_l.append(jnp.einsum("rkts,rts->ks", J[:, 18:21], res))
+            g_pt_l.append(_jt_apply_sum_t(J[:, 18:21], res))
 
         # --- reduced RHS: g_c - B C^-1 g_p --------------------------------
         rhs_pose = g_pose
@@ -828,10 +853,10 @@ def _lm_solve_bucketed(
         ):
             z0 = jnp.stack(_sym3_apply(Vinv, (g_pt[0], g_pt[1], g_pt[2])))
             z0_l.append(z0)
-            Jz = jnp.einsum("rkts,ks->rts", J[:, 18:21], z0)
-            rp = jnp.einsum("rkts,rts->kts", J[:, :6], Jz)
+            Jz = _j_apply_pt(J[:, 18:21], z0)
+            rp = _jt_apply(J[:, :6], Jz)
             rhs_pose = rhs_pose - _scatter_cam(rp, onehot_i, b.img_idx, I)
-            ri = jnp.einsum("rkts,rts->kts", J[:, 6:18], Jz)
+            ri = _jt_apply(J[:, 6:18], Jz)
             rhs_intr = rhs_intr - _scatter_cam(ri, onehot_c, b.cam_idx, C)
         rhs_pose = rhs_pose * pose_free
         rhs_intr = rhs_intr * intr_free
@@ -857,12 +882,22 @@ def _lm_solve_bucketed(
         ):
             Jc = J[:, :6]
             Jp = J[:, 18:21]
-            ud = jnp.einsum("rkts,rkts->kts", Jc, Jc)
+            ud = jnp.stack([Jc[0, k] ** 2 + Jc[1, k] ** 2 for k in range(6)])
             U_diag_pose = U_diag_pose + _scatter_cam(ud, onehot_i, b.img_idx, I)
-            ui = jnp.einsum("rkts,rkts->kts", J[:, 6:18], J[:, 6:18])
+            ui = jnp.stack(
+                [J[0, 6 + k] ** 2 + J[1, 6 + k] ** 2 for k in range(MAX_PARAMS)]
+            )
             U_diag_intr = U_diag_intr + _scatter_cam(ui, onehot_c, b.cam_idx, C)
-            # W = Jc^T Jp per obs: [6, 3, T, P]
-            W = jnp.einsum("rkts,rats->kats", Jc, Jp)
+            # W = Jc^T Jp per obs: [6, 3, T, P] (hand-expanded, see _jt_apply)
+            W = jnp.stack(
+                [
+                    jnp.stack(
+                        [Jc[0, k] * Jp[0, a] + Jc[1, k] * Jp[1, a]
+                         for a in range(3)]
+                    )
+                    for k in range(6)
+                ]
+            )
             # VW[i, b] = sum_a W[i, a] Vinv[a, b]  (Vinv symmetric, packed)
             a, bb, c, d, e, f = Vinv
             VW = jnp.stack(
@@ -876,8 +911,9 @@ def _lm_solve_bucketed(
             # S_ii[i,j] = sum_r Jc[r,i] Jc[r,j] - sum_b VW[i,b] W[j,b]
             blocks = jnp.stack(
                 [
-                    jnp.einsum("rts,rts->ts", Jc[:, i], Jc[:, j])
-                    - jnp.einsum("bts,bts->ts", VW[i], W[j])
+                    Jc[0, i] * Jc[0, j] + Jc[1, i] * Jc[1, j]
+                    - (VW[i, 0] * W[j, 0] + VW[i, 1] * W[j, 1]
+                       + VW[i, 2] * W[j, 2])
                     for (i, j) in tri
                 ]
             )
@@ -925,29 +961,18 @@ def _lm_solve_bucketed(
                     xp = jnp.stack(_gather_table(x_pose, b.img_idx))
                     xi = jnp.stack(_gather_table(x_intr, b.cam_idx))
                 xc = jnp.concatenate([xp, xi]).astype(_CG_DTYPE)  # [18,T,P]
-                a_obs = jnp.einsum(
-                    "rkts,kts->rts", J16[:, :18], xc,
-                    preferred_element_type=jnp.float32,
+                a_obs = sum(
+                    J16[:, k] * xc[k][None] for k in range(18)
                 )  # [2, T, P]
-                y_p = jnp.einsum(
-                    "rkts,rts->ks", J16[:, 18:21], a_obs.astype(_CG_DTYPE),
-                    preferred_element_type=jnp.float32,
-                )
+                y_p = _jt_apply_sum_t(J16[:, 18:21], a_obs.astype(_CG_DTYPE))
                 z_p = jnp.stack(_sym3_apply(Vinv, (y_p[0], y_p[1], y_p[2])))
-                d = a_obs - jnp.einsum(
-                    "rkts,ks->rts", J16[:, 18:21], z_p.astype(_CG_DTYPE),
-                    preferred_element_type=jnp.float32,
+                d = a_obs - _j_apply_pt(
+                    J16[:, 18:21], z_p.astype(_CG_DTYPE)
                 )
                 d16 = d.astype(_CG_DTYPE)
-                op = jnp.einsum(
-                    "rkts,rts->kts", J16[:, :6], d16,
-                    preferred_element_type=jnp.float32,
-                )
+                op = _jt_apply(J16[:, :6], d16)
                 out_pose = out_pose + _scatter_cam(op, onehot_i, b.img_idx, I)
-                oi = jnp.einsum(
-                    "rkts,rts->kts", J16[:, 6:18], d16,
-                    preferred_element_type=jnp.float32,
-                )
+                oi = _jt_apply(J16[:, 6:18], d16)
                 out_intr = out_intr + _scatter_cam(oi, onehot_c, b.cam_idx, C)
             return out_pose * pose_free, out_intr * intr_free
 

@@ -21,3 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# The package enables a persistent compilation cache (pycolmap_tpu/__init__),
+# but XLA:CPU's LoadedExecutable::serialize() can SIGABRT on large programs
+# (observed 2026-08-19 on the bucketed BA solver: Fatal abort inside
+# put_executable_and_time -> executable.serialize(), killing the whole
+# suite). Tests run single-process on CPU where cross-run cache warmth is
+# worth less than suite stability, so disable the disk cache here; TPU runs
+# (bench, scale tests) keep it.
+jax.config.update("jax_enable_compilation_cache", False)

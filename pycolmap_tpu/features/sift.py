@@ -269,32 +269,64 @@ def _bilinear_gather(img, ys, xs):
 
 
 def _octave_gradients(gauss):
-    """Central-difference gradient vectors per level, packed [L, H, W, 2].
+    """Central-difference gradients, channel-major flat volume [2, L*H, W(p)].
 
     Magnitude/angle are computed AT THE SAMPLED POINTS, not here: arctan2
     over the full volume cost ~30 ms/octave on TPU and bilinear
     interpolation of wrapped angles is wrong across the ±pi seam anyway —
     interpolating (gx, gy) then taking atan2 is both faster and correct.
-    Packing both components into one trailing axis also halves the gather
-    count in the orientation/descriptor windows."""
+    The [2, L*H, W] layout feeds the Pallas window sampler (one channel-pair
+    DMA per keypoint); rows/cols are zero-padded to its alignment."""
+    from pycolmap_tpu.features.window_sampler import pad_volume
+
+    L, H, W = gauss.shape
     gx = 0.5 * (jnp.roll(gauss, -1, axis=2) - jnp.roll(gauss, 1, axis=2))
     gy = 0.5 * (jnp.roll(gauss, -1, axis=1) - jnp.roll(gauss, 1, axis=1))
-    return jnp.stack([gx, gy], axis=-1)
+    return pad_volume(jnp.stack([gx, gy]).reshape(2, L * H, W))
 
 
-def _orientations(grad, x, y, level_idx, scale_rel, mask, max_num_orientations,
-                  affine=None):
+def _max_scale_rel(S: int) -> float:
+    """Static bound on scale_rel: lev_sel <= S + 0.5 (see _detect_octave)."""
+    return _SIGMA0 * 2.0 ** ((S + 0.5) / S)
+
+
+def _sample_grad(grad2, H, W, level_idx, sy, sx, support_px: float):
+    """Sample (gx, gy) at per-keypoint grid positions from the flat volume.
+
+    grad2: [2, LHp, Wp] padded channel-major gradients; level_idx [K];
+    sy/sx [K, G, G] level-local coords; support_px: static bound on
+    |sample - keypoint| in px, selects the Pallas window size (falls back
+    to the XLA gather path on CPU or oversized supports). sy is clamped
+    inside the level so the bilinear footprint cannot bleed across level
+    boundaries (vol[level] under vmap would materialize per-keypoint level
+    copies — measured 25 GB at 1024x768 with 2048 keypoints).
+    """
+    from pycolmap_tpu.features import window_sampler as ws
+
+    ys = jnp.clip(sy, 0.0, H - 1.001) + level_idx[:, None, None].astype(
+        jnp.float32
+    ) * H
+    ch0 = jnp.zeros(level_idx.shape, jnp.int32)
+    wins = ws.window_sizes(support_px)
+    if wins is None or not ws._use_pallas():
+        return ws.sample_windows_reference(grad2, ch0, ys, sx)
+    return ws.sample_windows(grad2, ch0, ys, sx, *wins)
+
+
+def _orientations(grad2, H, W, S, x, y, level_idx, scale_rel, mask,
+                  max_num_orientations, affine=None):
     """36-bin Gaussian-weighted orientation histogram per keypoint.
 
-    grad: [L, H, W, 2] gradient vectors; affine: optional [K, 2, 2] shape
-    matrices — sampling and gradients move to the affine-normalized frame
-    (VLFeat covdet computes orientations after shape adaptation).
-    Returns (orients [K, O], ori_mask).
+    grad2: [2, LHp, Wp] flat channel-major gradients; affine: optional
+    [K, 2, 2] shape matrices — sampling and gradients move to the
+    affine-normalized frame (VLFeat covdet computes orientations after
+    shape adaptation). Returns (orients [K, O], ori_mask).
     """
     K = x.shape[0]
     G = _GRID
     win_factor = 1.5
     radius = 3.0 * win_factor * scale_rel  # [K]
+    support = 3.0 * win_factor * _max_scale_rel(S) * (2.45 if affine is not None else 1.0)
     # fixed sample grid in [-1, 1]
     u = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * 2.0 - 1.0
     uu, vv = jnp.meshgrid(u, u)  # [G, G]
@@ -310,17 +342,15 @@ def _orientations(grad, x, y, level_idx, scale_rel, mask, max_num_orientations,
             A[:, 1, 0, None, None] * uu[None] + A[:, 1, 1, None, None] * vv[None]
         )
 
-    # one packed gather from each keypoint's level, then mag/angle on samples
-    g = jax.vmap(lambda level, ys, xs: _bilinear_gather_level(grad, level, ys, xs))(
-        level_idx, sy, sx
-    )  # [K, G, G, 2]
+    # one windowed sample pass per keypoint, then mag/angle on samples
+    g0, g1 = _sample_grad(grad2, H, W, level_idx, sy, sx, support)
     if affine is not None:
         A = affine
-        gx = A[:, 0, 0, None, None] * g[..., 0] + A[:, 1, 0, None, None] * g[..., 1]
-        gy = A[:, 0, 1, None, None] * g[..., 0] + A[:, 1, 1, None, None] * g[..., 1]
-        g = jnp.stack([gx, gy], axis=-1)
-    m = jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2 + 1e-12)
-    a = jnp.arctan2(g[..., 1], g[..., 0])
+        gx = A[:, 0, 0, None, None] * g0 + A[:, 1, 0, None, None] * g1
+        gy = A[:, 0, 1, None, None] * g0 + A[:, 1, 1, None, None] * g1
+        g0, g1 = gx, gy
+    m = jnp.sqrt(g0**2 + g1**2 + 1e-12)
+    a = jnp.arctan2(g1, g0)
     # Gaussian weight in window coords
     dist2 = uu[None] ** 2 + vv[None] ** 2
     w = jnp.exp(-dist2 / (2 * (2.0 / 3.0) ** 2))  # sigma = 1.5σ over radius 4.5σ
@@ -361,7 +391,8 @@ def _orientations(grad, x, y, level_idx, scale_rel, mask, max_num_orientations,
     return theta, ori_mask
 
 
-def _affine_shapes(grad, x, y, level_idx, scale_rel, mask, num_iters: int = 5):
+def _affine_shapes(grad2, H, W, S, x, y, level_idx, scale_rel, mask,
+                   num_iters: int = 5):
     """Second-moment affine shape adaptation (VLFeat covdet
     AffineShapeEstimator semantics; ref: extract_features.h
     estimate_affine_shape option).
@@ -376,6 +407,7 @@ def _affine_shapes(grad, x, y, level_idx, scale_rel, mask, num_iters: int = 5):
     uu, vv = jnp.meshgrid(u, u)
     w = jnp.exp(-(uu**2 + vv**2) / (2 * (2.0 / 3.0) ** 2))
     radius = 3.0 * 1.5 * scale_rel  # same window as orientation estimation
+    support = 3.0 * 1.5 * _max_scale_rel(S) * 2.45  # A cond-gated at 6
     K = x.shape[0]
     eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (K, 2, 2))
 
@@ -387,12 +419,10 @@ def _affine_shapes(grad, x, y, level_idx, scale_rel, mask, num_iters: int = 5):
         sy = y[:, None, None] + radius[:, None, None] * (
             A[:, 1, 0, None, None] * uu[None] + A[:, 1, 1, None, None] * vv[None]
         )
-        g = jax.vmap(
-            lambda level, ys, xs: _bilinear_gather_level(grad, level, ys, xs)
-        )(level_idx, sy, sx)
+        g0, g1 = _sample_grad(grad2, H, W, level_idx, sy, sx, support)
         # warped-patch gradients: d/du I(x + r A u) ~ A^T g
-        gx = A[:, 0, 0, None, None] * g[..., 0] + A[:, 1, 0, None, None] * g[..., 1]
-        gy = A[:, 0, 1, None, None] * g[..., 0] + A[:, 1, 1, None, None] * g[..., 1]
+        gx = A[:, 0, 0, None, None] * g0 + A[:, 1, 0, None, None] * g1
+        gy = A[:, 0, 1, None, None] * g0 + A[:, 1, 1, None, None] * g1
         Mxx = jnp.sum(w * gx * gx, axis=(1, 2))
         Mxy = jnp.sum(w * gx * gy, axis=(1, 2))
         Myy = jnp.sum(w * gy * gy, axis=(1, 2))
@@ -412,14 +442,14 @@ def _affine_shapes(grad, x, y, level_idx, scale_rel, mask, num_iters: int = 5):
         w11 = (Mxx + sdet) / s
         wdet = jnp.maximum(w00 * w11 - w01 * w01, 1e-20)
         n = jnp.sqrt(wdet)
-        W = jnp.stack(
+        Wm = jnp.stack(
             [
                 jnp.stack([w00 / n, w01 / n], -1),
                 jnp.stack([w01 / n, w11 / n], -1),
             ],
             -2,
         )
-        A_new = jnp.einsum("kij,kjl->kil", A, W)
+        A_new = jnp.einsum("kij,kjl->kil", A, Wm)
         good = jnp.isfinite(A_new).all(axis=(1, 2)) & (tr > 1e-12)
         A = jnp.where(good[:, None, None], A_new, A)
         return (A, q), None
@@ -434,21 +464,6 @@ def _affine_shapes(grad, x, y, level_idx, scale_rel, mask, num_iters: int = 5):
     )
     ok = mask & jnp.isfinite(A).all(axis=(1, 2)) & (cond <= 6.0)
     return A, ok
-
-
-def _bilinear_gather_level(vol, level, ys, xs):
-    """vol [L, H, W] or [L, H, W, C]; level scalar int; ys/xs [...] floats.
-
-    Implemented as one gather from the [L*H, W(, C)] flattened volume with
-    ``ys + level*H`` — indexing ``vol[level]`` under vmap would materialize a
-    per-keypoint copy of the whole level image (measured: 25 GB at 1024x768
-    with 2048 keypoints). ys is clamped inside the level so the bilinear
-    footprint cannot bleed across level boundaries.
-    """
-    L, H, W = vol.shape[0], vol.shape[1], vol.shape[2]
-    flat = vol.reshape((L * H, W) + vol.shape[3:])
-    ys_c = jnp.clip(ys, 0.0, H - 1.001)
-    return _bilinear_gather(flat, ys_c + level * H, xs)
 
 
 def _precompute_descriptor_weights():
@@ -492,19 +507,25 @@ def _frame_matrix(theta, affine=None):
     return jnp.einsum("kij,kjl->kil", affine, R)
 
 
-def _descriptors(grad, x, y, level_idx, scale_rel, theta, normalization,
-                 affine=None):
+def _descriptors(grad2, H, W, S, x, y, level_idx, scale_rel, theta,
+                 normalization, affine=None, support_scale: float = 1.0):
     """Fixed-grid SIFT descriptors. x,y,scale per keypoint-orientation.
 
-    grad: [L, H, W, 2] gradient vectors; x,y [K]; theta [K]; affine:
-    optional [K, 2, 2] shape matrices (estimate_affine_shape). Returns
-    [K, 128] float32.
+    grad2: [2, LHp, Wp] flat channel-major gradients; x,y [K]; theta [K];
+    affine: optional [K, 2, 2] shape matrices (estimate_affine_shape);
+    support_scale: static bound on extra scaling of scale_rel by the caller
+    (domain-size pooling). Returns [K, 128] float32.
     """
     K = x.shape[0]
     G = _GRID
     D = _DESC_SPATIAL
     mag_factor = 3.0  # bin width = 3 * sigma
     half = D / 2 * mag_factor * scale_rel  # descriptor support half-width
+    support = (
+        D / 2 * mag_factor * _max_scale_rel(S) * support_scale
+        * math.sqrt(2.0)  # rotated grid corners
+        * (2.45 if affine is not None else 1.0)
+    )
     u = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * 2.0 - 1.0
     uu, vv = jnp.meshgrid(u, u)
     T = _frame_matrix(theta, affine)  # [K, 2, 2]
@@ -517,13 +538,11 @@ def _descriptors(grad, x, y, level_idx, scale_rel, theta, normalization,
     sx = x[:, None, None] + ox
     sy = y[:, None, None] + oy
 
-    g = jax.vmap(lambda level, ys, xs: _bilinear_gather_level(grad, level, ys, xs))(
-        level_idx, sy, sx
-    )  # [K, G, G, 2]
+    g0, g1 = _sample_grad(grad2, H, W, level_idx, sy, sx, support)
     # gradients in the patch frame: g_p = T^T g (for T = R this reduces to
     # the classic angle - theta)
-    gpx = T[:, 0, 0, None, None] * g[..., 0] + T[:, 1, 0, None, None] * g[..., 1]
-    gpy = T[:, 0, 1, None, None] * g[..., 0] + T[:, 1, 1, None, None] * g[..., 1]
+    gpx = T[:, 0, 0, None, None] * g0 + T[:, 1, 0, None, None] * g1
+    gpy = T[:, 0, 1, None, None] * g0 + T[:, 1, 1, None, None] * g1
     m = jnp.sqrt(gpx**2 + gpy**2 + 1e-12)
     a = jnp.arctan2(gpy, gpx)
     obin = jnp.mod(a / (2 * jnp.pi) * _DESC_ORI, _DESC_ORI)
@@ -584,9 +603,12 @@ def _extract_core(
         x, y, lev_f, level_idx, scale_rel, resp, mask = _detect_octave(
             gauss, dog, S, peak_threshold, edge_threshold, per_octave_kps
         )
-        grad = _octave_gradients(gauss)
+        oh, ow = gauss.shape[1], gauss.shape[2]
+        grad = _octave_gradients(gauss)  # [2, LHp, Wp]
         if affine_shape:
-            A, mask = _affine_shapes(grad, x, y, level_idx, scale_rel, mask)
+            A, mask = _affine_shapes(
+                grad, oh, ow, S, x, y, level_idx, scale_rel, mask
+            )
         else:
             A = None
         if upright:
@@ -594,8 +616,8 @@ def _extract_core(
             ori_mask = mask[:, None]
         else:
             theta, ori_mask = _orientations(
-                grad, x, y, level_idx, scale_rel, mask, max_num_orientations,
-                affine=A,
+                grad, oh, ow, S, x, y, level_idx, scale_rel, mask,
+                max_num_orientations, affine=A,
             )
         O = theta.shape[1]
         # expand keypoints per orientation
@@ -614,9 +636,11 @@ def _extract_core(
             # domain-size pooling (ref: extract_features.h dsp_* options):
             # average descriptors over scaled supports, then renormalize
             acc = None
+            fmax = max(dsp_scales)
             for f in dsp_scales:
                 d = _descriptors(
-                    grad, xe, ye, le, se * f, th, normalization, affine=Ae
+                    grad, oh, ow, S, xe, ye, le, se * f, th, normalization,
+                    affine=Ae, support_scale=fmax,
                 )
                 acc = d if acc is None else acc + d
             desc = acc / len(dsp_scales)
@@ -630,7 +654,9 @@ def _extract_core(
                 )
                 desc = jnp.sqrt(desc)
         else:
-            desc = _descriptors(grad, xe, ye, le, se, th, normalization, affine=Ae)
+            desc = _descriptors(
+                grad, oh, ow, S, xe, ye, le, se, th, normalization, affine=Ae
+            )
         # map to input-image coordinates
         kp_x = xe * octave_scale
         kp_y = ye * octave_scale
@@ -664,20 +690,25 @@ def _extract_batch_jit(
     max_num_orientations, normalization, upright, peak_threshold, edge_threshold,
     dsp_scales=(), affine_shape=False,
 ):
-    """vmapped SIFT over a [B, H, W] stack of same-size images.
+    """Batched SIFT over a [B, H, W] stack of same-size images.
 
-    Batching amortizes the per-kernel fixed cost of the many small pyramid /
-    histogram ops across images — single-image extraction on TPU is
-    latency-bound, not FLOP-bound (BASELINE.md SIFT row)."""
+    One jit call for all images amortizes the remote dispatch latency.
+    Images are unrolled in the trace rather than vmapped: the window-sampler
+    Pallas kernel uses scalar-prefetch + manual DMA, which does not batch
+    under vmap."""
 
-    def one(img):
-        return _extract_core(
-            img, height, width, num_octaves, S, first_octave, per_octave_kps,
-            max_num_orientations, normalization, upright, peak_threshold,
-            edge_threshold, dsp_scales, affine_shape,
+    B = images.shape[0]
+    outs = [
+        _extract_core(
+            images[b], height, width, num_octaves, S, first_octave,
+            per_octave_kps, max_num_orientations, normalization, upright,
+            peak_threshold, edge_threshold, dsp_scales, affine_shape,
         )
-
-    return jax.vmap(one)(images)
+        for b in range(B)
+    ]
+    return tuple(
+        jnp.stack([o[i] for o in outs]) for i in range(len(outs[0]))
+    )
 
 
 class Sift:

@@ -60,14 +60,14 @@ def main():
     x, y, lev_f, level_idx, scale_rel, resp, mask = jax.jit(detect)(gauss)
     print(f"gradients: {timeit(S._octave_gradients, gauss)*1e3:.1f} ms")
     grad = jax.jit(S._octave_gradients)(gauss)
+    oh, ow = gauss.shape[1], gauss.shape[2]
 
+    ori = lambda g, *a: S._orientations(g, oh, ow, Ssc, *a, 2)
     print(
         "orientations: "
-        f"{timeit(lambda *a: S._orientations(*a, 2), grad, x, y, level_idx, scale_rel, mask)*1e3:.1f} ms"
+        f"{timeit(ori, grad, x, y, level_idx, scale_rel, mask)*1e3:.1f} ms"
     )
-    theta, omask = jax.jit(
-        lambda *a: S._orientations(*a, 2)
-    )(grad, x, y, level_idx, scale_rel, mask)
+    theta, omask = jax.jit(ori)(grad, x, y, level_idx, scale_rel, mask)
 
     O = theta.shape[1]
     xe = jnp.repeat(x[:, None], O, 1).reshape(-1)
@@ -75,9 +75,10 @@ def main():
     le = jnp.repeat(level_idx[:, None], O, 1).reshape(-1)
     se = jnp.repeat(scale_rel[:, None], O, 1).reshape(-1)
     th = theta.reshape(-1)
+    desc = lambda g, *a: S._descriptors(g, oh, ow, Ssc, *a, 0)
     print(
         f"descriptors ({xe.shape[0]} kps): "
-        f"{timeit(lambda *a: S._descriptors(*a, 0), grad, xe, ye, le, se, th)*1e3:.1f} ms"
+        f"{timeit(desc, grad, xe, ye, le, se, th)*1e3:.1f} ms"
     )
 
     # full extract end-to-end for reference (includes D2H of results)

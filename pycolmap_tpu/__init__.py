@@ -11,6 +11,27 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _machine_tag():
+    """Fingerprint of the host CPU feature set.
+
+    XLA:CPU cache entries are AOT machine code; loading an entry compiled on
+    a host with different CPU features SIGILLs/segfaults (observed
+    2026-08-19: cpu_aot_loader 'machine type ... doesn't match' then fatal
+    crashes). The persistent cache is therefore keyed per machine.
+    """
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
+
+
 def _enable_compilation_cache():
     """Persist XLA executables across processes.
 
@@ -27,7 +48,10 @@ def _enable_compilation_cache():
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(cache_dir, _machine_tag()),
+        )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     except Exception:
         pass
@@ -92,15 +116,20 @@ from pycolmap_tpu.features import (
 )
 from pycolmap_tpu.pipeline import (
     CameraMode,
+    DelaunayMeshingOptions,
     ExhaustiveMatchingOptions,
     ImageReaderOptions,
     IncrementalPipelineOptions,
+    PatchMatchOptions,
+    PoissonMeshingOptions,
     ReconstructionManager,
     SequentialMatchingOptions,
     SpatialMatchingOptions,
+    StereoFusionOptions,
     UndistortCameraOptions,
     VocabTreeMatchingOptions,
     bundle_adjustment,
+    dense_delaunay_meshing,
     extract_features,
     import_images,
     incremental_mapping,
@@ -109,6 +138,10 @@ from pycolmap_tpu.pipeline import (
     match_sequential,
     match_spatial,
     match_vocabtree,
+    patch_match_stereo,
+    poisson_meshing,
+    sparse_delaunay_meshing,
+    stereo_fusion,
     triangulate_points,
     undistort_images,
     verify_matches,

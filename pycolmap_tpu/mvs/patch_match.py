@@ -12,8 +12,14 @@ chosen for the XLA compilation model:
   once; bilateral-NCC window statistics are accumulated by a lax.scan over
   the (precomputed, shifted) window planes, with sources vmapped — the
   compiled graph is one window-body regardless of window size;
-- per-view costs are aggregated by the mean of the best half of views
-  (the batched stand-in for upstream's per-pixel view sampling).
+- per-view costs are aggregated by per-pixel view-selection weights
+  w_k = exp(-c_k^2 / (2 sigma_v^2)) refreshed from the current plane each
+  red/black step — the dense batched analog of upstream's Monte-Carlo
+  per-pixel view sampling (Zheng et al., upstream patch_match_cuda.cu);
+- the geometric-consistency pass re-runs the optimization with an added
+  per-view forward-backward reprojection-error term
+  ``geom_w * min(err_px, geom_max_cost)`` (upstream ComputeGeomConsistencyCost),
+  initialized from the photometric pass and reading its depth maps.
 
 Plane parameterization: depth d along the pixel ray + unit normal n in the
 reference camera frame; the plane-induced warp into source view k is
@@ -97,25 +103,40 @@ def _random_normals(key, shape, rays):
     return jnp.where(dot[None] > 0, -v, v)
 
 
+_VIEW_SIGMA = 0.3  # view-selection weight bandwidth on NCC cost (in [0, 2])
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_iterations", "window_radius", "window_step"),
+    static_argnames=("num_iterations", "window_radius", "window_step",
+                     "geom_consistency"),
 )
 def patch_match_kernel(
     key, ref, srcs, rays, Ks_all, R_rel, t_rel,
     depth0, normal0, depth_min, depth_max,
     sigma_color, ncc_sigma,
     num_iterations, window_radius, window_step,
+    geom_consistency=False, Kr=None, Ks_inv=None, src_depths=None,
+    geom_w=0.3, geom_max_cost=3.0,
 ):
     """Run PatchMatch for one reference image.
 
     ref [H, W]; srcs [K, H, W]; rays [3, H, W] (K_r^-1 pixel rays);
     Ks_all [K, 3, 3] source calibrations; R_rel [K,3,3], t_rel [K,3];
-    depth0 [H, W]; normal0 [3, H, W].
+    depth0 [H, W]; normal0 [3, H, W]. With geom_consistency: Kr [3, 3]
+    reference calibration, Ks_inv [K, 3, 3], src_depths [K, H, W] source
+    depth maps from the photometric pass; per-view cost adds
+    geom_w * min(fwd-bwd reprojection err, geom_max_cost)
+    (ref: pipeline/mvs.h:129-135 geom_consistency options; upstream
+    ComputeGeomConsistencyCost).
     Returns (depth, normal [3,H,W], cost [H, W]).
     """
     H, W = ref.shape
     K = srcs.shape[0]
+    if geom_consistency:
+        # reference pixel coords (for the reprojection error target)
+        pxr = Kr[0, 0] * rays[0] / rays[2] + Kr[0, 2]
+        pyr = Kr[1, 1] * rays[1] / rays[2] + Kr[1, 2]
     offsets = _window_offsets(window_radius, window_step)
     nw = len(offsets)
 
@@ -148,10 +169,36 @@ def patch_match_kernel(
         jnp.sum(w_off * ref_off**2, axis=0) / w_sum - ref_mean**2, 1e-6
     )
 
-    def plane_cost(depth, normal):
-        """Aggregated matching cost [H, W] for the plane (depth, normal)."""
+    def view_costs(depth, normal):
+        """Per-view matching cost [K, H, W] for the plane (depth, normal)."""
         ndotr = jnp.sum(normal * rays, axis=0)
         denom = depth * jnp.where(jnp.abs(ndotr) < 1e-6, -1e-6, ndotr)
+
+        def geom_cost(Rk, tk, Kk, Kki, Dk):
+            """Forward-backward reprojection error at the center pixel."""
+            scale_c = 1.0 / jnp.maximum(depth, 1e-9)
+            c0 = Rk[0, 0] * rays[0] + Rk[0, 1] * rays[1] + Rk[0, 2] * rays[2] + tk[0] * scale_c
+            c1 = Rk[1, 0] * rays[0] + Rk[1, 1] * rays[1] + Rk[1, 2] * rays[2] + tk[1] * scale_c
+            c2 = Rk[2, 0] * rays[0] + Rk[2, 1] * rays[1] + Rk[2, 2] * rays[2] + tk[2] * scale_c
+            zc = jnp.where(jnp.abs(c2) < 1e-9, 1e-9, c2)
+            uc = Kk[0, 0] * (c0 / zc) + Kk[0, 2]
+            vc = Kk[1, 1] * (c1 / zc) + Kk[1, 2]
+            ds, okd = _bilinear(Dk, vc - 0.5, uc - 0.5)
+            # backproject source sample, map into the reference frame
+            bx = Kki[0, 0] * uc + Kki[0, 2]
+            by = Kki[1, 1] * vc + Kki[1, 2]
+            d0 = ds * bx - tk[0]
+            d1 = ds * by - tk[1]
+            d2 = ds - tk[2]
+            Xr0 = Rk[0, 0] * d0 + Rk[1, 0] * d1 + Rk[2, 0] * d2
+            Xr1 = Rk[0, 1] * d0 + Rk[1, 1] * d1 + Rk[2, 1] * d2
+            Xr2 = Rk[0, 2] * d0 + Rk[1, 2] * d1 + Rk[2, 2] * d2
+            zr = jnp.where(Xr2 < 1e-9, 1e-9, Xr2)
+            ur = Kr[0, 0] * (Xr0 / zr) + Kr[0, 2]
+            vr = Kr[1, 1] * (Xr1 / zr) + Kr[1, 2]
+            err = jnp.sqrt((ur - pxr) ** 2 + (vr - pyr) ** 2)
+            ok = okd & (ds > 0) & (c2 > 0) & (Xr2 > 0)
+            return jnp.where(ok, jnp.minimum(err, geom_max_cost), geom_max_cost)
 
         def per_view(src, Rk, tk, Kk):
             def body(carry, inputs):
@@ -187,10 +234,25 @@ def patch_match_kernel(
             cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)
             return jnp.where(wv_sum > 0.2 * w_sum, cost, 2.0)
 
-        costs = jax.vmap(per_view)(srcs, R_rel, t_rel, Ks_all)  # [K, H, W]
-        costs = jnp.sort(costs, axis=0)
-        top = max(1, (K + 1) // 2)
-        return jnp.mean(costs[:top], axis=0)
+        if geom_consistency:
+            def per_view_geom(src, Rk, tk, Kk, Kki, Dk):
+                return per_view(src, Rk, tk, Kk) + geom_w * geom_cost(
+                    Rk, tk, Kk, Kki, Dk
+                )
+
+            return jax.vmap(per_view_geom)(
+                srcs, R_rel, t_rel, Ks_all, Ks_inv, src_depths
+            )
+        return jax.vmap(per_view)(srcs, R_rel, t_rel, Ks_all)  # [K, H, W]
+
+    def agg_cost(costs, vw):
+        """Per-pixel view-weighted aggregation."""
+        return jnp.sum(vw * costs, axis=0) / jnp.maximum(
+            jnp.sum(vw, axis=0), 1e-9
+        )
+
+    def plane_cost(depth, normal, vw):
+        return agg_cost(view_costs(depth, normal), vw)
 
     def neighbor_plane_depth(depth, normal, dy, dx):
         """Depth induced at each pixel by the (dy,dx)-neighbor's plane."""
@@ -202,10 +264,10 @@ def patch_match_kernel(
         d = num / jnp.where(jnp.abs(den) < 1e-6, -1e-6, den)
         return jnp.clip(d, depth_min, depth_max), n_n
 
-    def try_candidate(state, cand, color):
+    def try_candidate(state, cand, color, vw):
         depth, normal, cost = state
         d_c, n_c = cand
-        c_c = plane_cost(d_c, n_c)
+        c_c = plane_cost(d_c, n_c, vw)
         better = (c_c < cost) & (parity == color)
         return (
             jnp.where(better, d_c, depth),
@@ -214,37 +276,41 @@ def patch_match_kernel(
         )
 
     def step(carry, inputs):
-        depth, normal, cost = carry
+        depth, normal, _ = carry
         key, color = inputs
         keys = jax.random.split(key, 4)
-        state = (depth, normal, cost)
+        # refresh per-pixel view-selection weights from the current plane,
+        # and re-aggregate its cost under them so comparisons are consistent
+        cv = view_costs(depth, normal)
+        vw = jnp.exp(-(cv * cv) / (2 * _VIEW_SIGMA**2))
+        state = (depth, normal, agg_cost(cv, vw))
         for (dy, dx) in ((1, 0), (-1, 0), (0, 1), (0, -1)):
             state = try_candidate(
-                state, neighbor_plane_depth(state[0], state[1], dy, dx), color
+                state, neighbor_plane_depth(state[0], state[1], dy, dx),
+                color, vw,
             )
         pert = jax.random.uniform(keys[0], (H, W), minval=-0.1, maxval=0.1)
         state = try_candidate(
             state,
             (jnp.clip(state[0] * (1 + pert), depth_min, depth_max), state[1]),
-            color,
+            color, vw,
         )
         dn = 0.3 * jax.random.normal(keys[1], (3, H, W))
         n_p = state[1] + dn
         n_p = n_p / jnp.maximum(jnp.sqrt(jnp.sum(n_p * n_p, axis=0)), 1e-9)
         n_p = jnp.where(jnp.sum(n_p * rays, axis=0)[None] > 0, -n_p, n_p)
-        state = try_candidate(state, (state[0], n_p), color)
+        state = try_candidate(state, (state[0], n_p), color, vw)
         d_r = jax.random.uniform(
             keys[2], (H, W), minval=depth_min, maxval=depth_max
         )
         state = try_candidate(
-            state, (d_r, _random_normals(keys[3], (H, W), rays)), color
+            state, (d_r, _random_normals(keys[3], (H, W), rays)), color, vw
         )
         return state, None
 
-    cost0 = plane_cost(depth0, normal0)
     schedule_keys = jax.random.split(key, 2 * num_iterations)
     colors = jnp.tile(jnp.array([0, 1]), num_iterations)
     (depth, normal, cost), _ = jax.lax.scan(
-        step, (depth0, normal0, cost0), (schedule_keys, colors)
+        step, (depth0, normal0, jnp.zeros((H, W))), (schedule_keys, colors)
     )
     return depth, normal, cost

@@ -18,6 +18,19 @@ from pycolmap_tpu.pipeline.match_features import (
     match_vocabtree,
     verify_matches,
 )
+from pycolmap_tpu.pipeline.mvs import (
+    PatchMatchOptions,
+    StereoFusionOptions,
+    patch_match_stereo,
+    stereo_fusion,
+)
+from pycolmap_tpu.mvs.meshing import (
+    DelaunayMeshingOptions,
+    PoissonMeshingOptions,
+    dense_delaunay_meshing,
+    poisson_meshing,
+    sparse_delaunay_meshing,
+)
 from pycolmap_tpu.pipeline.sfm import (
     IncrementalPipelineOptions,
     ReconstructionManager,

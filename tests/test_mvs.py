@@ -116,3 +116,61 @@ def test_patch_match_fusion_meshing(tmp_path):
     mo.depth = 6
     assert poisson_meshing(ws / "fused.ply", ws / "mesh.ply", mo)
     assert sparse_delaunay_meshing(ws / "sparse", ws / "sparse_mesh.ply")
+
+
+def test_consistency_graph_roundtrip(tmp_path):
+    from pycolmap_tpu.mvs.consistency_graph import (
+        read_consistency_graph,
+        write_consistency_graph,
+    )
+
+    rng = np.random.default_rng(1)
+    cons = rng.uniform(size=(3, 6, 8)) > 0.7
+    write_consistency_graph(tmp_path / "g.bin", cons)
+    w, h, entries = read_consistency_graph(tmp_path / "g.bin")
+    assert (w, h) == (8, 6)
+    rebuilt = np.zeros_like(cons)
+    for x, y, ids in entries:
+        rebuilt[ids, y, x] = True
+    assert np.array_equal(rebuilt, cons)
+
+
+def test_patch_match_kernel_geom_pass_compiles():
+    """Geometric pass: correct shapes, and a perfect photometric depth map
+    survives the forward-backward term (cost stays low where consistent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pycolmap_tpu.mvs.patch_match import patch_match_kernel
+
+    H, W, K = 48, 64, 2
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    srcs = np.stack([ref, ref])
+    Kmat = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    pix = np.stack([xx + 0.5, yy + 0.5, np.ones_like(xx)])
+    rays = np.einsum("ij,jhw->ihw", np.linalg.inv(Kmat), pix).astype(np.float32)
+    R_rel = np.stack([np.eye(3), np.eye(3)]).astype(np.float32)
+    t_rel = np.zeros((K, 3), np.float32)
+    depth0 = np.full((H, W), 5.0, np.float32)
+    normal0 = (-rays / np.linalg.norm(rays, axis=0)).astype(np.float32)
+    src_depths = np.stack([depth0, depth0])
+    depth, normal, cost = patch_match_kernel(
+        jax.random.PRNGKey(0),
+        jnp.asarray(ref), jnp.asarray(srcs), jnp.asarray(rays),
+        jnp.asarray(np.stack([Kmat, Kmat])), jnp.asarray(R_rel),
+        jnp.asarray(t_rel),
+        jnp.asarray(depth0), jnp.asarray(normal0),
+        jnp.float32(1.0), jnp.float32(10.0),
+        jnp.float32(0.2), jnp.float32(0.6),
+        2, 2, 1,
+        geom_consistency=True,
+        Kr=jnp.asarray(Kmat),
+        Ks_inv=jnp.asarray(np.stack([np.linalg.inv(Kmat)] * 2)),
+        src_depths=jnp.asarray(src_depths),
+        geom_w=jnp.float32(0.3), geom_max_cost=jnp.float32(3.0),
+    )
+    assert depth.shape == (H, W) and normal.shape == (3, H, W)
+    inner = np.asarray(cost)[8:-8, 8:-8]
+    assert np.median(inner) < 0.5

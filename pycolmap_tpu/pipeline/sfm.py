@@ -374,6 +374,16 @@ def incremental_mapping(
         f"{cache.correspondence_graph.num_image_pairs} verified pairs"
     )
 
+    # overlap the early BA compiles with graph construction / init search
+    if cache.cameras:
+        from pycolmap_tpu.sfm.prewarm import prewarm_mapper_ba
+
+        prewarm_mapper_ba(
+            int(next(iter(cache.cameras.values())).model_id),
+            options.get_local_ba(),
+            options.get_global_ba(),
+        )
+
     manager = ReconstructionManager()
     if input_path:
         idx = manager.add()

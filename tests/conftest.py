@@ -14,9 +14,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # XLA:CPU's parallel LLVM codegen segfaults deterministically partway
+    # through the suite (observed 2026-08-19 at test ~129, inside
+    # backend_compile_and_load on the bucketed BA solver; independent of the
+    # axon plugin and of the persistent cache). Serializing codegen avoids
+    # the crash at a small compile-time cost.
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

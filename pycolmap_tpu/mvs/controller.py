@@ -138,10 +138,17 @@ def patch_match_stereo(
                 )
             else:
                 rng = np.random.default_rng(iid)
-                depth0 = rng.uniform(d_min, d_max, (H, W)).astype(np.float32)
+                # one depth draw per 8x128 tile + per-pixel jitter: keeps
+                # each tile's warped footprint band-coherent for the Pallas
+                # cost kernel while retaining per-pixel sample diversity
+                base = rng.uniform(d_min, d_max, (-(-H // 8), -(-W // 128)))
+                depth0 = np.repeat(np.repeat(base, 8, 0), 128, 1)[:H, :W]
+                depth0 = np.clip(
+                    depth0 * rng.uniform(0.9, 1.1, (H, W)), d_min, d_max
+                ).astype(np.float32)
                 n0 = -rays / np.maximum(np.linalg.norm(rays, axis=0), 1e-9)
                 normal0 = n0.astype(np.float32)
-                extra = {}
+                extra = dict(Kr=jnp.asarray(Kr.astype(np.float32)))
 
             depth, normal, cost = patch_match_kernel(
                 jax.random.PRNGKey(iid),

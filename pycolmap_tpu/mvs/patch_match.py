@@ -24,12 +24,19 @@ chosen for the XLA compilation model:
 Plane parameterization: depth d along the pixel ray + unit normal n in the
 reference camera frame; the plane-induced warp into source view k is
   q_s ~ K_s (R_k r_q + t_k (n . r_q) / (d (n . r_p))),  r = K_r^-1 q.
+
+Two implementations of the per-view window cost share this module:
+``view_costs_xla`` (pure XLA; gathers through HBM) and the Pallas banded
+kernel in pm_kernels.py (VMEM-resident source bands + MXU tent-matmul
+sampling; ~zero gathers). The Pallas path needs a pinhole reference
+calibration ``Kr`` and per-tile-coherent candidate depths; it is selected
+on TPU backends (env PYCOLMAP_TPU_PM_PALLAS=0/1/auto overrides).
 """
 
 from __future__ import annotations
 
 import functools
-from pathlib import Path
+import os
 
 import jax
 import jax.numpy as jnp
@@ -106,10 +113,220 @@ def _random_normals(key, shape, rays):
 _VIEW_SIGMA = 0.3  # view-selection weight bandwidth on NCC cost (in [0, 2])
 
 
+def _pm_pallas_enabled() -> bool:
+    """Whether patch_match_kernel should use the Pallas banded kernel.
+
+    PYCOLMAP_TPU_PM_PALLAS: "0"/"off" forces the XLA path, "1"/"on" forces
+    Pallas (interpret mode on CPU), default "auto" = Pallas on TPU only.
+    """
+    mode = os.environ.get("PYCOLMAP_TPU_PM_PALLAS", "auto").lower()
+    if mode in ("0", "off", "false"):
+        return False
+    if mode in ("1", "on", "true", "interpret"):
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pm_view_params(R_rel, t_rel, Ks_all, Kr, sigma_color, geom_w,
+                    geom_max_cost):
+    """Pack per-view scalars into the pm_kernels [K, 32] SMEM row layout."""
+    K = R_rel.shape[0]
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    fx, fy = Ks_all[:, 0, 0], Ks_all[:, 1, 1]
+    cx, cy = Ks_all[:, 0, 2], Ks_all[:, 1, 2]
+    kr_row = jnp.stack([Kr[0, 0], Kr[1, 1], Kr[0, 2], Kr[1, 2]])
+    scal = jnp.stack(
+        [f32(sigma_color), f32(geom_w), f32(geom_max_cost)]
+    )
+    rows = jnp.concatenate(
+        [
+            R_rel.reshape(K, 9),
+            t_rel,
+            jnp.stack([fx, fy, cx, cy], axis=1),
+            jnp.broadcast_to(kr_row, (K, 4)),
+            jnp.broadcast_to(scal, (K, 3)),
+            jnp.stack([1.0 / fx, 1.0 / fy, -cx / fx, -cy / fy], axis=1),
+            jnp.zeros((K, 5)),
+        ],
+        axis=1,
+    )
+    return rows.astype(jnp.float32)
+
+
+def view_costs_xla(
+    depth, normal, srcs, rays, R_rel, t_rel, Ks_all,
+    rays_off, ref_off, w_off, w_sum, ref_mean, ref_var,
+    geom_consistency, Kr, Ks_inv, src_depths, geom_w, geom_max_cost,
+):
+    """Per-view matching cost [K, H, W] for the plane field (depth, normal).
+
+    Reference XLA formulation: bilateral-NCC statistics accumulated by a
+    lax.scan over precomputed shifted window planes (rays_off/ref_off/w_off
+    [nw, ...]), vmapped over source views. Window samples use roll-based
+    shifted planes, so pixels within the window radius of the border see
+    wrapped values; the Pallas path (pm_kernels) matches this function on
+    interior pixels.
+    """
+    H, W = depth.shape
+    ndotr = jnp.sum(normal * rays, axis=0)
+    denom = depth * jnp.where(jnp.abs(ndotr) < 1e-6, -1e-6, ndotr)
+    if geom_consistency:
+        # reference pixel coords (for the reprojection error target)
+        pxr = Kr[0, 0] * rays[0] / rays[2] + Kr[0, 2]
+        pyr = Kr[1, 1] * rays[1] / rays[2] + Kr[1, 2]
+
+    def geom_cost(Rk, tk, Kk, Kki, Dk):
+        """Forward-backward reprojection error at the center pixel."""
+        scale_c = 1.0 / jnp.maximum(depth, 1e-9)
+        c0 = Rk[0, 0] * rays[0] + Rk[0, 1] * rays[1] + Rk[0, 2] * rays[2] + tk[0] * scale_c
+        c1 = Rk[1, 0] * rays[0] + Rk[1, 1] * rays[1] + Rk[1, 2] * rays[2] + tk[1] * scale_c
+        c2 = Rk[2, 0] * rays[0] + Rk[2, 1] * rays[1] + Rk[2, 2] * rays[2] + tk[2] * scale_c
+        zc = jnp.where(jnp.abs(c2) < 1e-9, 1e-9, c2)
+        uc = Kk[0, 0] * (c0 / zc) + Kk[0, 2]
+        vc = Kk[1, 1] * (c1 / zc) + Kk[1, 2]
+        ds, okd = _bilinear(Dk, vc - 0.5, uc - 0.5)
+        # backproject source sample, map into the reference frame
+        bx = Kki[0, 0] * uc + Kki[0, 2]
+        by = Kki[1, 1] * vc + Kki[1, 2]
+        d0 = ds * bx - tk[0]
+        d1 = ds * by - tk[1]
+        d2 = ds - tk[2]
+        Xr0 = Rk[0, 0] * d0 + Rk[1, 0] * d1 + Rk[2, 0] * d2
+        Xr1 = Rk[0, 1] * d0 + Rk[1, 1] * d1 + Rk[2, 1] * d2
+        Xr2 = Rk[0, 2] * d0 + Rk[1, 2] * d1 + Rk[2, 2] * d2
+        zr = jnp.where(Xr2 < 1e-9, 1e-9, Xr2)
+        ur = Kr[0, 0] * (Xr0 / zr) + Kr[0, 2]
+        vr = Kr[1, 1] * (Xr1 / zr) + Kr[1, 2]
+        err = jnp.sqrt((ur - pxr) ** 2 + (vr - pyr) ** 2)
+        ok = okd & (ds > 0) & (c2 > 0) & (Xr2 > 0)
+        return jnp.where(ok, jnp.minimum(err, geom_max_cost), geom_max_cost)
+
+    def per_view(src, Rk, tk, Kk):
+        def body(carry, inputs):
+            s_sum, s2_sum, rs_sum, wv_sum = carry
+            r_q, ref_q, w = inputs  # [3,H,W], [H,W], [H,W]
+            ndotq = normal[0] * r_q[0] + normal[1] * r_q[1] + normal[2] * r_q[2]
+            scale = ndotq / denom
+            # X_q = r_q * (d n.r_p) / (n.r_q); X_s = R X_q + t; in
+            # projective form: m = R r_q + t (n.r_q) / (d n.r_p)
+            m0 = Rk[0, 0] * r_q[0] + Rk[0, 1] * r_q[1] + Rk[0, 2] * r_q[2] + tk[0] * scale
+            m1 = Rk[1, 0] * r_q[0] + Rk[1, 1] * r_q[1] + Rk[1, 2] * r_q[2] + tk[1] * scale
+            m2 = Rk[2, 0] * r_q[0] + Rk[2, 1] * r_q[1] + Rk[2, 2] * r_q[2] + tk[2] * scale
+            z = jnp.where(jnp.abs(m2) < 1e-9, 1e-9, m2)
+            u = Kk[0, 0] * (m0 / z) + Kk[0, 2]
+            v = Kk[1, 1] * (m1 / z) + Kk[1, 2]
+            s, ok = _bilinear(src, v - 0.5, u - 0.5)
+            wk = w * ok * (m2 > 0)
+            return (
+                s_sum + wk * s,
+                s2_sum + wk * s * s,
+                rs_sum + wk * ref_q * s,
+                wv_sum + wk,
+            ), None
+
+        zero = jnp.zeros((H, W))
+        (s_sum, s2_sum, rs_sum, wv_sum), _ = jax.lax.scan(
+            body, (zero, zero, zero, zero + 1e-9), (rays_off, ref_off, w_off)
+        )
+        src_mean = s_sum / wv_sum
+        src_var = jnp.maximum(s2_sum / wv_sum - src_mean**2, 1e-6)
+        covar = rs_sum / wv_sum - ref_mean * src_mean
+        ncc = covar / jnp.sqrt(ref_var * src_var)
+        cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)
+        return jnp.where(wv_sum > 0.2 * w_sum, cost, 2.0)
+
+    if geom_consistency:
+        def per_view_geom(src, Rk, tk, Kk, Kki, Dk):
+            return per_view(src, Rk, tk, Kk) + geom_w * geom_cost(
+                Rk, tk, Kk, Kki, Dk
+            )
+
+        return jax.vmap(per_view_geom)(
+            srcs, R_rel, t_rel, Ks_all, Ks_inv, src_depths
+        )
+    return jax.vmap(per_view)(srcs, R_rel, t_rel, Ks_all)  # [K, H, W]
+
+
+def make_pallas_view_costs(
+    ref, srcs, rays, Ks_all, R_rel, t_rel, Kr,
+    w_sum, ref_mean, ref_var, offsets, sg, sigma_color,
+    geom_consistency, src_depths, geom_w, geom_max_cost, window_radius,
+    interpret=None, sample_dtype=None,
+):
+    """Build a view_costs(depth, normal) closure over the Pallas kernel.
+
+    Pads inputs to the pm_kernels band/tile geometry once (loop-invariant)
+    and per call computes center-warp fields -> per-tile band origins ->
+    banded tent-matmul cost kernel. Matches view_costs_xla on interior
+    pixels whose warped windows fit the per-tile source band.
+    """
+    from pycolmap_tpu.mvs import pm_kernels as pmk
+
+    H, W = ref.shape
+    Hp = max(-(-H // 8) * 8, pmk.BAND_Y)
+    Wp = max(-(-W // 128) * 128, pmk.BAND_X)
+    src_pad = jnp.pad(srcs, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    halo_pad = jnp.pad(ref, ((8, Hp - H + 8), (128, Wp - W + 128)))
+    stats_pad = jnp.pad(
+        jnp.stack([w_sum, ref_mean, ref_var]),
+        ((0, 0), (0, Hp - H), (0, Wp - W)),
+    )
+    if geom_consistency:
+        sdep_pad = jnp.pad(src_depths, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    else:
+        sdep_pad = src_pad  # placeholder of the right shape (unused)
+    params = _pm_view_params(
+        R_rel, t_rel, Ks_all, Kr, sigma_color, geom_w, geom_max_cost
+    )
+    m_base = jnp.einsum("kij,jhw->kihw", R_rel, rays)  # loop-invariant
+    offs_t = tuple((int(dy), int(dx)) for dy, dx in offsets)
+    wsp_t = tuple(
+        float(x)
+        for x in np.exp(
+            -(offsets[:, 0] ** 2 + offsets[:, 1] ** 2) / (2 * sg)
+        )
+    )
+    if interpret is None:
+        interpret = pmk.interpret_default()
+    if sample_dtype is None:
+        sample_dtype = pmk.sample_dtype_default()
+
+    def view_costs(depth, normal):
+        d_pad = jnp.pad(depth, ((0, Hp - H), (0, Wp - W)))
+        n_pad = jnp.pad(normal, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        # center-pixel warp field (scale = 1/d at the center ray)
+        m = m_base + t_rel[:, :, None, None] / jnp.maximum(depth, 1e-9)
+        z = jnp.where(jnp.abs(m[:, 2]) < 1e-9, 1e-9, m[:, 2])
+        u_c = (
+            Ks_all[:, 0, 0, None, None] * (m[:, 0] / z)
+            + Ks_all[:, 0, 2, None, None] - 0.5
+        )
+        v_c = (
+            Ks_all[:, 1, 1, None, None] * (m[:, 1] / z)
+            + Ks_all[:, 1, 2, None, None] - 0.5
+        )
+        bad = m[:, 2] <= 0
+        u_c = jnp.where(bad, jnp.float32(1e9), u_c)
+        v_c = jnp.where(bad, jnp.float32(1e9), v_c)
+        y0, x0 = pmk.band_origins(v_c, u_c, Hp, Wp, window_radius)
+        cost = pmk.pm_view_costs_pallas(
+            src_pad, sdep_pad, halo_pad, d_pad, n_pad, stats_pad,
+            params, y0, x0, H, W, offs_t, wsp_t,
+            geom=geom_consistency, interpret=interpret,
+            sample_dtype=sample_dtype,
+        )
+        return cost[:, :H, :W]
+
+    return view_costs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_iterations", "window_radius", "window_step",
-                     "geom_consistency"),
+                     "geom_consistency", "pallas"),
 )
 def patch_match_kernel(
     key, ref, srcs, rays, Ks_all, R_rel, t_rel,
@@ -117,28 +334,24 @@ def patch_match_kernel(
     sigma_color, ncc_sigma,
     num_iterations, window_radius, window_step,
     geom_consistency=False, Kr=None, Ks_inv=None, src_depths=None,
-    geom_w=0.3, geom_max_cost=3.0,
+    geom_w=0.3, geom_max_cost=3.0, pallas=None,
 ):
     """Run PatchMatch for one reference image.
 
     ref [H, W]; srcs [K, H, W]; rays [3, H, W] (K_r^-1 pixel rays);
     Ks_all [K, 3, 3] source calibrations; R_rel [K,3,3], t_rel [K,3];
-    depth0 [H, W]; normal0 [3, H, W]. With geom_consistency: Kr [3, 3]
-    reference calibration, Ks_inv [K, 3, 3], src_depths [K, H, W] source
-    depth maps from the photometric pass; per-view cost adds
-    geom_w * min(fwd-bwd reprojection err, geom_max_cost)
-    (ref: pipeline/mvs.h:129-135 geom_consistency options; upstream
-    ComputeGeomConsistencyCost).
+    depth0 [H, W]; normal0 [3, H, W]. With geom_consistency: Ks_inv
+    [K, 3, 3], src_depths [K, H, W] source depth maps from the photometric
+    pass; per-view cost adds geom_w * min(fwd-bwd reprojection err,
+    geom_max_cost) (ref: pipeline/mvs.h:129-135 geom_consistency options;
+    upstream ComputeGeomConsistencyCost). Kr [3, 3] reference calibration:
+    required for geom_consistency and for the Pallas fast path.
+    pallas: force (True/False) or auto-select (None) the Pallas cost kernel;
+    resolved at trace time, so pass it explicitly to defeat the jit cache.
     Returns (depth, normal [3,H,W], cost [H, W]).
     """
     H, W = ref.shape
-    K = srcs.shape[0]
-    if geom_consistency:
-        # reference pixel coords (for the reprojection error target)
-        pxr = Kr[0, 0] * rays[0] / rays[2] + Kr[0, 2]
-        pyr = Kr[1, 1] * rays[1] / rays[2] + Kr[1, 2]
     offsets = _window_offsets(window_radius, window_step)
-    nw = len(offsets)
 
     parity = (
         jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -150,9 +363,6 @@ def patch_match_kernel(
     ref_off = jnp.stack(
         [jnp.roll(ref, (-dy, -dx), axis=(0, 1)) for dy, dx in offsets]
     )  # [nw, H, W]
-    rays_off = jnp.stack(
-        [jnp.roll(rays, (-dy, -dx), axis=(1, 2)) for dy, dx in offsets]
-    )  # [nw, 3, H, W]
     w_spatial = jnp.asarray(
         np.exp(-(offsets[:, 0] ** 2 + offsets[:, 1] ** 2) / (2 * sg)).astype(
             np.float32
@@ -169,81 +379,28 @@ def patch_match_kernel(
         jnp.sum(w_off * ref_off**2, axis=0) / w_sum - ref_mean**2, 1e-6
     )
 
-    def view_costs(depth, normal):
-        """Per-view matching cost [K, H, W] for the plane (depth, normal)."""
-        ndotr = jnp.sum(normal * rays, axis=0)
-        denom = depth * jnp.where(jnp.abs(ndotr) < 1e-6, -1e-6, ndotr)
+    use_pallas = (Kr is not None) and (
+        pallas if pallas is not None else _pm_pallas_enabled()
+    )
+    if use_pallas:
+        view_costs = make_pallas_view_costs(
+            ref, srcs, rays, Ks_all, R_rel, t_rel, Kr,
+            w_sum, ref_mean, ref_var, offsets, sg, sigma_color,
+            geom_consistency, src_depths, geom_w, geom_max_cost,
+            window_radius,
+        )
+    else:
+        rays_off = jnp.stack(
+            [jnp.roll(rays, (-dy, -dx), axis=(1, 2)) for dy, dx in offsets]
+        )  # [nw, 3, H, W]
 
-        def geom_cost(Rk, tk, Kk, Kki, Dk):
-            """Forward-backward reprojection error at the center pixel."""
-            scale_c = 1.0 / jnp.maximum(depth, 1e-9)
-            c0 = Rk[0, 0] * rays[0] + Rk[0, 1] * rays[1] + Rk[0, 2] * rays[2] + tk[0] * scale_c
-            c1 = Rk[1, 0] * rays[0] + Rk[1, 1] * rays[1] + Rk[1, 2] * rays[2] + tk[1] * scale_c
-            c2 = Rk[2, 0] * rays[0] + Rk[2, 1] * rays[1] + Rk[2, 2] * rays[2] + tk[2] * scale_c
-            zc = jnp.where(jnp.abs(c2) < 1e-9, 1e-9, c2)
-            uc = Kk[0, 0] * (c0 / zc) + Kk[0, 2]
-            vc = Kk[1, 1] * (c1 / zc) + Kk[1, 2]
-            ds, okd = _bilinear(Dk, vc - 0.5, uc - 0.5)
-            # backproject source sample, map into the reference frame
-            bx = Kki[0, 0] * uc + Kki[0, 2]
-            by = Kki[1, 1] * vc + Kki[1, 2]
-            d0 = ds * bx - tk[0]
-            d1 = ds * by - tk[1]
-            d2 = ds - tk[2]
-            Xr0 = Rk[0, 0] * d0 + Rk[1, 0] * d1 + Rk[2, 0] * d2
-            Xr1 = Rk[0, 1] * d0 + Rk[1, 1] * d1 + Rk[2, 1] * d2
-            Xr2 = Rk[0, 2] * d0 + Rk[1, 2] * d1 + Rk[2, 2] * d2
-            zr = jnp.where(Xr2 < 1e-9, 1e-9, Xr2)
-            ur = Kr[0, 0] * (Xr0 / zr) + Kr[0, 2]
-            vr = Kr[1, 1] * (Xr1 / zr) + Kr[1, 2]
-            err = jnp.sqrt((ur - pxr) ** 2 + (vr - pyr) ** 2)
-            ok = okd & (ds > 0) & (c2 > 0) & (Xr2 > 0)
-            return jnp.where(ok, jnp.minimum(err, geom_max_cost), geom_max_cost)
-
-        def per_view(src, Rk, tk, Kk):
-            def body(carry, inputs):
-                s_sum, s2_sum, rs_sum, wv_sum = carry
-                r_q, ref_q, w = inputs  # [3,H,W], [H,W], [H,W]
-                ndotq = normal[0] * r_q[0] + normal[1] * r_q[1] + normal[2] * r_q[2]
-                scale = ndotq / denom
-                # X_q = r_q * (d n.r_p) / (n.r_q); X_s = R X_q + t; in
-                # projective form: m = R r_q + t (n.r_q) / (d n.r_p)
-                m0 = Rk[0, 0] * r_q[0] + Rk[0, 1] * r_q[1] + Rk[0, 2] * r_q[2] + tk[0] * scale
-                m1 = Rk[1, 0] * r_q[0] + Rk[1, 1] * r_q[1] + Rk[1, 2] * r_q[2] + tk[1] * scale
-                m2 = Rk[2, 0] * r_q[0] + Rk[2, 1] * r_q[1] + Rk[2, 2] * r_q[2] + tk[2] * scale
-                z = jnp.where(jnp.abs(m2) < 1e-9, 1e-9, m2)
-                u = Kk[0, 0] * (m0 / z) + Kk[0, 2]
-                v = Kk[1, 1] * (m1 / z) + Kk[1, 2]
-                s, ok = _bilinear(src, v - 0.5, u - 0.5)
-                wk = w * ok * (m2 > 0)
-                return (
-                    s_sum + wk * s,
-                    s2_sum + wk * s * s,
-                    rs_sum + wk * ref_q * s,
-                    wv_sum + wk,
-                ), None
-
-            zero = jnp.zeros((H, W))
-            (s_sum, s2_sum, rs_sum, wv_sum), _ = jax.lax.scan(
-                body, (zero, zero, zero, zero + 1e-9), (rays_off, ref_off, w_off)
+        def view_costs(depth, normal):
+            return view_costs_xla(
+                depth, normal, srcs, rays, R_rel, t_rel, Ks_all,
+                rays_off, ref_off, w_off, w_sum, ref_mean, ref_var,
+                geom_consistency, Kr, Ks_inv, src_depths,
+                geom_w, geom_max_cost,
             )
-            src_mean = s_sum / wv_sum
-            src_var = jnp.maximum(s2_sum / wv_sum - src_mean**2, 1e-6)
-            covar = rs_sum / wv_sum - ref_mean * src_mean
-            ncc = covar / jnp.sqrt(ref_var * src_var)
-            cost = 1.0 - jnp.clip(ncc, -1.0, 1.0)
-            return jnp.where(wv_sum > 0.2 * w_sum, cost, 2.0)
-
-        if geom_consistency:
-            def per_view_geom(src, Rk, tk, Kk, Kki, Dk):
-                return per_view(src, Rk, tk, Kk) + geom_w * geom_cost(
-                    Rk, tk, Kk, Kki, Dk
-                )
-
-            return jax.vmap(per_view_geom)(
-                srcs, R_rel, t_rel, Ks_all, Ks_inv, src_depths
-            )
-        return jax.vmap(per_view)(srcs, R_rel, t_rel, Ks_all)  # [K, H, W]
 
     def agg_cost(costs, vw):
         """Per-pixel view-weighted aggregation."""
@@ -275,10 +432,30 @@ def patch_match_kernel(
             jnp.where(better, c_c, cost),
         )
 
+    def random_depths(key_t, key_j):
+        """Random-search depth candidates.
+
+        The Pallas path draws one depth per 8x128 tile (so a tile's warped
+        window footprint stays inside its source band) plus a +-10%
+        per-pixel jitter for intra-tile diversity; the XLA path draws
+        per-pixel, matching upstream's per-pixel random search.
+        """
+        if not use_pallas:
+            return jax.random.uniform(
+                key_t, (H, W), minval=depth_min, maxval=depth_max
+            )
+        nty, ntx = -(-H // 8), -(-W // 128)
+        d_t = jax.random.uniform(
+            key_t, (nty, ntx), minval=depth_min, maxval=depth_max
+        )
+        d_r = jnp.repeat(jnp.repeat(d_t, 8, axis=0), 128, axis=1)[:H, :W]
+        jit_px = jax.random.uniform(key_j, (H, W), minval=0.9, maxval=1.1)
+        return jnp.clip(d_r * jit_px, depth_min, depth_max)
+
     def step(carry, inputs):
         depth, normal, _ = carry
         key, color = inputs
-        keys = jax.random.split(key, 4)
+        keys = jax.random.split(key, 5)
         # refresh per-pixel view-selection weights from the current plane,
         # and re-aggregate its cost under them so comparisons are consistent
         cv = view_costs(depth, normal)
@@ -300,9 +477,7 @@ def patch_match_kernel(
         n_p = n_p / jnp.maximum(jnp.sqrt(jnp.sum(n_p * n_p, axis=0)), 1e-9)
         n_p = jnp.where(jnp.sum(n_p * rays, axis=0)[None] > 0, -n_p, n_p)
         state = try_candidate(state, (state[0], n_p), color, vw)
-        d_r = jax.random.uniform(
-            keys[2], (H, W), minval=depth_min, maxval=depth_max
-        )
+        d_r = random_depths(keys[2], keys[4])
         state = try_candidate(
             state, (d_r, _random_normals(keys[3], (H, W), rays)), color, vw
         )

@@ -252,47 +252,40 @@ def view_costs_xla(
 
 def make_pallas_view_costs(
     ref, srcs, rays, Ks_all, R_rel, t_rel, Kr,
-    w_sum, ref_mean, ref_var, offsets, sg, sigma_color,
+    w_off, ref_off, w_sum, ref_mean, ref_var, offsets, sigma_color,
     geom_consistency, src_depths, geom_w, geom_max_cost, window_radius,
-    interpret=None, sample_dtype=None,
+    interpret=None,
 ):
     """Build a view_costs(depth, normal) closure over the Pallas kernel.
 
-    Pads inputs to the pm_kernels band/tile geometry once (loop-invariant)
-    and per call computes center-warp fields -> per-tile band origins ->
-    banded tent-matmul cost kernel. Matches view_costs_xla on interior
-    pixels whose warped windows fit the per-tile source band.
+    Pads inputs to the pm_kernels band/tile geometry once (loop-invariant:
+    the bilateral window weights w_off and w_off*ref_off stream into the
+    kernel per tile, so in-kernel work is just warp + gather-sample +
+    accumulate) and per call computes center-warp fields -> per-tile band
+    origins -> banded gather cost kernel. Matches view_costs_xla on
+    interior pixels whose warped windows fit the per-tile source band.
     """
     from pycolmap_tpu.mvs import pm_kernels as pmk
 
     H, W = ref.shape
     Hp = max(-(-H // 8) * 8, pmk.BAND_Y)
     Wp = max(-(-W // 128) * 128, pmk.BAND_X)
-    src_pad = jnp.pad(srcs, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    halo_pad = jnp.pad(ref, ((8, Hp - H + 8), (128, Wp - W + 128)))
-    stats_pad = jnp.pad(
-        jnp.stack([w_sum, ref_mean, ref_var]),
-        ((0, 0), (0, Hp - H), (0, Wp - W)),
-    )
+    pad3 = ((0, 0), (0, Hp - H), (0, Wp - W))
+    src_pad = jnp.pad(srcs, pad3)
+    stats_pad = jnp.pad(jnp.stack([w_sum, ref_mean, ref_var]), pad3)
+    w_pad = jnp.pad(w_off, pad3)
+    wr_pad = jnp.pad(w_off * ref_off, pad3)
     if geom_consistency:
-        sdep_pad = jnp.pad(src_depths, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        sdep_pad = jnp.pad(src_depths, pad3)
     else:
         sdep_pad = src_pad  # placeholder of the right shape (unused)
     params = _pm_view_params(
         R_rel, t_rel, Ks_all, Kr, sigma_color, geom_w, geom_max_cost
     )
     m_base = jnp.einsum("kij,jhw->kihw", R_rel, rays)  # loop-invariant
-    offs_t = tuple((int(dy), int(dx)) for dy, dx in offsets)
-    wsp_t = tuple(
-        float(x)
-        for x in np.exp(
-            -(offsets[:, 0] ** 2 + offsets[:, 1] ** 2) / (2 * sg)
-        )
-    )
+    offs = jnp.asarray(np.asarray(offsets), jnp.float32)  # [nw, 2] (dy, dx)
     if interpret is None:
         interpret = pmk.interpret_default()
-    if sample_dtype is None:
-        sample_dtype = pmk.sample_dtype_default()
 
     def view_costs(depth, normal):
         d_pad = jnp.pad(depth, ((0, Hp - H), (0, Wp - W)))
@@ -313,10 +306,9 @@ def make_pallas_view_costs(
         v_c = jnp.where(bad, jnp.float32(1e9), v_c)
         y0, x0 = pmk.band_origins(v_c, u_c, Hp, Wp, window_radius)
         cost = pmk.pm_view_costs_pallas(
-            src_pad, sdep_pad, halo_pad, d_pad, n_pad, stats_pad,
-            params, y0, x0, H, W, offs_t, wsp_t,
+            src_pad, sdep_pad, w_pad, wr_pad, d_pad, n_pad, stats_pad,
+            params, offs, y0, x0, H, W,
             geom=geom_consistency, interpret=interpret,
-            sample_dtype=sample_dtype,
         )
         return cost[:, :H, :W]
 
@@ -385,7 +377,7 @@ def patch_match_kernel(
     if use_pallas:
         view_costs = make_pallas_view_costs(
             ref, srcs, rays, Ks_all, R_rel, t_rel, Kr,
-            w_sum, ref_mean, ref_var, offsets, sg, sigma_color,
+            w_off, ref_off, w_sum, ref_mean, ref_var, offsets, sigma_color,
             geom_consistency, src_depths, geom_w, geom_max_cost,
             window_radius,
         )

@@ -9,9 +9,13 @@ every gather:
 - grid over (view, 8x128 output tiles); per step it DMAs one source-image
   row/column BAND (BAND_Y x BAND_X around the tile's warped footprint,
   origin scalar-prefetched) plus the reference halo tile into VMEM;
-- bilinear sampling of all window-offset warps is evaluated as tent-weight
-  contractions on the MXU against the band (exact bilinear, zero outside:
-  same trick as features/window_sampler.py);
+- bilinear sampling of all window-offset warps keeps pixels in LANES:
+  the x taps are per-pixel tpu.dynamic_gather lane lookups over 128-wide
+  band chunks, the y taps a 2-sparse tent contraction over band sublanes
+  (exact bilinear, zero outside). An earlier dense tent-MATMUL variant
+  (both taps as MXU one-hot contractions) measured 238 ms per cost eval
+  at 320x240 K=8 — VPU-bound building [128, BAND_X] tent matrices; the
+  gather form does ~100x less tent work per sample;
 - the per-offset warp itself (plane-induced homography at the offset ray,
   ref: mvs/patch_match.py plane parameterization) is recomputed in-kernel
   from iota pixel coordinates — no warp fields ever hit HBM;
@@ -36,10 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_Y = 8
 TILE_X = 128
-BAND_Y = 64
-BAND_X = 384
-HALO_Y = 24  # TILE_Y + 2*8 (covers window radius <= 8)
-HALO_X = 384  # TILE_X + 2*128
+BAND_Y = 48  # tile y-footprint + 2x band_origins margin + intra-tile spread
+BAND_X = 256  # two 128-lane gather chunks; covers warp scale <= ~1.5
 
 # view-parameter row layout (f32): R row-major 9, t 3, Ks fx fy cx cy,
 # Kr fx fy cx cy, sigma_color, geom_w, geom_max_cost, Ks_inv fx fy cx cy
@@ -66,49 +68,77 @@ def interpret_default() -> bool:
         return True
 
 
-def _tent_tile_sample(band, rv, ru, valid, dtype):
-    """Sample band [BAND_Y, BAND_X] at per-element (rv, ru) for a whole
-    [TILE_Y, TILE_X] tile. rv/ru [TILE_Y, TILE_X] f32 in band coords;
-    returns [TILE_Y, TILE_X] f32 (zero where tents fall outside or ~valid).
+def _band_chunks(band):
+    """Split a [BAND_Y, BAND_X] band into single-vreg (128-lane) chunks plus
+    their x+1-shifted twins (the second bilinear tap). tpu.dynamic_gather
+    only gathers within one vreg along lanes, so the x-lookup is chunked."""
+    BY, BX = band.shape
+    shift = jnp.concatenate(
+        [band[:, 1:], jnp.zeros((BY, 1), jnp.float32)], axis=1
+    )
+    chunks = tuple(band[:, s * 128:(s + 1) * 128] for s in range(BX // 128))
+    chunks1 = tuple(shift[:, s * 128:(s + 1) * 128] for s in range(BX // 128))
+    return chunks, chunks1
 
-    Each output row is a [TILE_X, BAND_Y] x [BAND_Y, BAND_X] tent-weight
-    matmul on the MXU (Mosaic rejects the [TY*TX, BAND_Y] single-matmul
-    form: sublane->lane reshape is an unsupported shape cast). With
-    dtype=bfloat16 the tent weights quantize sub-pixel position to
-    ~1/256 px — the same fractional precision as GPU texture units, which
-    the reference's CUDA sampler relies on.
+
+def _gather_row_sample(chunks, chunks1, rv, ru, valid):
+    """Exact bilinear sample of the band for one output row (pixels in
+    LANES throughout — no transposes/relayouts). rv/ru/valid [TILE_X] in
+    band coords; returns [TILE_X] f32 (zero where tents miss or ~valid).
+
+    x taps: per-pixel lane gather (take_along_axis -> tpu.dynamic_gather)
+    from each 128-lane chunk, combined by segment select, then lerped.
+    y taps: dense 2-tap tent contraction over the BAND_Y sublanes (sublane
+    indexing is not gatherable on TPU; the tent row is 2-sparse so this is
+    the cheap direction to keep dense).
     """
-    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_X, BAND_Y), 1).astype(
+    BY = chunks[0].shape[0]
+    ruc = jnp.clip(ru, 0.0, BAND_X - 1.001)
+    x0 = jnp.floor(ruc)
+    fx = (ruc - x0)[None, :]
+    idx = jnp.broadcast_to(
+        x0.astype(jnp.int32)[None, :], (BY, TILE_X)
+    )
+    g0 = jnp.zeros((BY, TILE_X), jnp.float32)
+    g1 = g0
+    for s, (c0, c1) in enumerate(zip(chunks, chunks1)):
+        rem = jnp.clip(idx - s * 128, 0, 127)
+        inseg = (idx >= s * 128) & (idx < (s + 1) * 128)
+        g0 = jnp.where(inseg, jnp.take_along_axis(c0, rem, axis=1), g0)
+        g1 = jnp.where(inseg, jnp.take_along_axis(c1, rem, axis=1), g1)
+    gx = g0 + (g1 - g0) * fx
+    iy = jax.lax.broadcasted_iota(jnp.int32, (BY, TILE_X), 0).astype(
         jnp.float32
     )
-    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_X, BAND_X), 1).astype(
-        jnp.float32
+    rvm = jnp.where(valid, rv, -2.0)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(rvm[None, :] - iy))
+    return jnp.sum(ty * gx, axis=0)
+
+
+def _gather_tile_sample(chunks, chunks1, rv, ru, valid):
+    """[TILE_Y, TILE_X] bilinear band sample via _gather_row_sample."""
+    return jnp.stack(
+        [
+            _gather_row_sample(chunks, chunks1, rv[i], ru[i], valid[i])
+            for i in range(TILE_Y)
+        ]
     )
-    rv = jnp.where(valid, rv, -2.0)
-    band_c = band.astype(dtype)
-    rows = []
-    for i in range(TILE_Y):
-        Ty = jnp.maximum(0.0, 1.0 - jnp.abs(rv[i][:, None] - iy))  # [TX, BY]
-        Tx = jnp.maximum(0.0, 1.0 - jnp.abs(ru[i][:, None] - ix))  # [TX, BX]
-        M = jnp.dot(
-            Ty.astype(dtype), band_c, preferred_element_type=jnp.float32
-        )  # [TX, BX]
-        rows.append(jnp.sum(M * Tx, axis=1))
-    return jnp.stack(rows)
 
 
-def _make_kernel(H, W, offsets, w_spatial, geom, num_tx, sample_dtype):
+def _make_kernel(H, W, geom, num_tx):
     """Returns the kernel fn closed over static geometry.
 
-    H, W: true image sizes (un-padded); offsets: [(dy, dx)] static window
-    offsets; w_spatial: matching static spatial weights; geom: include the
-    forward-backward geometric-consistency term (needs src depth bands);
-    sample_dtype: MXU dtype for the intensity tent matmuls (depth-band
-    sampling for the geom term always runs f32 — depths aren't in [0,1]).
+    H, W: true image sizes (un-padded); geom: include the forward-backward
+    geometric-consistency term (needs src depth bands). Window offsets are
+    DATA (SMEM [nw, 2] rows), so the offset loop is a fori_loop — the
+    kernel body stays one-offset-sized regardless of window size (an
+    unrolled 36-offset variant took >10 min of Mosaic compile through the
+    remote-compile tunnel).
     """
 
-    def kernel(y0_ref, x0_ref, params_ref, src_ref, sdep_ref, halo_ref,
-               d_ref, n_ref, stats_ref, out_ref, band, dband, halo, sems):
+    def kernel(y0_ref, x0_ref, params_ref, offs_ref, src_ref, sdep_ref,
+               w_ref, wr_ref, d_ref, n_ref, stats_ref, out_ref, band,
+               dband, sems):
         v = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
@@ -121,16 +151,10 @@ def _make_kernel(H, W, offsets, w_spatial, geom, num_tx, sample_dtype):
             sems.at[0],
         )
         cp_band.start()
-        cp_halo = pltpu.make_async_copy(
-            halo_ref.at[pl.ds(ty * TILE_Y, HALO_Y),
-                        pl.ds(tx * TILE_X, HALO_X)],
-            halo, sems.at[1],
-        )
-        cp_halo.start()
         if geom:
             cp_dep = pltpu.make_async_copy(
                 sdep_ref.at[v, pl.ds(y0, BAND_Y), pl.ds(x0, BAND_X)], dband,
-                sems.at[2],
+                sems.at[1],
             )
             cp_dep.start()
 
@@ -139,7 +163,6 @@ def _make_kernel(H, W, offsets, w_spatial, geom, num_tx, sample_dtype):
         t = [params_ref[v, _P_T + i] for i in range(3)]
         ksfx, ksfy, kscx, kscy = (params_ref[v, _P_KSF + i] for i in range(4))
         krfx, krfy, krcx, krcy = (params_ref[v, _P_KRF + i] for i in range(4))
-        sigma_color = params_ref[v, _P_SIGMA]
         y0f = y0.astype(jnp.float32)
         x0f = x0.astype(jnp.float32)
 
@@ -161,18 +184,15 @@ def _make_kernel(H, W, offsets, w_spatial, geom, num_tx, sample_dtype):
         ndotr = n0 * rpx + n1 * rpy + n2
         denom = d * jnp.where(jnp.abs(ndotr) < 1e-6, -1e-6, ndotr)
 
-        cp_halo.wait()
-        ref_c = halo[8:16, 128:256]  # [TY, TX] center reference tile
-
         zero = jnp.zeros((TILE_Y, TILE_X), jnp.float32)
-        s_sum = zero
-        s2_sum = zero
-        rs_sum = zero
-        wv_sum = zero + 1e-9
         cp_band.wait()
-        bandv = band[:]
+        chunks, chunks1 = _band_chunks(band[:])
+        nw = w_ref.shape[0]
 
-        for (dy, dx), wsp in zip(offsets, w_spatial):
+        def offset_body(i, carry):
+            s_sum, s2_sum, rs_sum, wv_sum = carry
+            dy = offs_ref[i, 0]
+            dx = offs_ref[i, 1]
             rqx = (px + dx - krcx) / krfx
             rqy = (py + dy - krcy) / krfy
             ndotq = n0 * rqx + n1 * rqy + n2
@@ -191,14 +211,19 @@ def _make_kernel(H, W, offsets, w_spatial, geom, num_tx, sample_dtype):
                 & (ru >= 0.0) & (ru <= BAND_X - 1.001)
                 & (m2 > 0)
             )
-            s = _tent_tile_sample(bandv, rv, ru, ok, sample_dtype)
-            ref_q = halo[8 + dy:16 + dy, 128 + dx:256 + dx]
-            w = jnp.exp(-jnp.abs(ref_q - ref_c) / sigma_color) * wsp
-            wk = w * ok.astype(jnp.float32)
-            s_sum = s_sum + wk * s
-            s2_sum = s2_sum + wk * s * s
-            rs_sum = rs_sum + wk * ref_q * s
-            wv_sum = wv_sum + wk
+            s = _gather_tile_sample(chunks, chunks1, rv, ru, ok)
+            okf = ok.astype(jnp.float32)
+            wk = w_ref[i] * okf  # bilateral weight (spatial x color), DMA'd
+            return (
+                s_sum + wk * s,
+                s2_sum + wk * s * s,
+                rs_sum + (wr_ref[i] * okf) * s,  # w * ref_q precomputed
+                wv_sum + wk,
+            )
+
+        s_sum, s2_sum, rs_sum, wv_sum = jax.lax.fori_loop(
+            0, nw, offset_body, (zero, zero, zero, zero + 1e-9)
+        )
 
         w_sum = stats_ref[0]
         ref_mean = stats_ref[1]
@@ -234,7 +259,8 @@ def _make_kernel(H, W, offsets, w_spatial, geom, num_tx, sample_dtype):
                 & (c2 > 0)
             )
             cp_dep.wait()
-            ds = _tent_tile_sample(dband[:], rvc, ruc, okc, jnp.float32)
+            dch, dch1 = _band_chunks(dband[:])
+            ds = _gather_tile_sample(dch, dch1, rvc, ruc, okc)
             bx = ksi_fx * uc + ksi_cx
             by = ksi_fy * vc + ksi_cy
             d0 = ds * bx - t[0]
@@ -257,48 +283,43 @@ def _make_kernel(H, W, offsets, w_spatial, geom, num_tx, sample_dtype):
     return kernel
 
 
-def sample_dtype_default():
-    """MXU dtype for intensity tent matmuls: bf16 (GPU-texture-grade
-    fractional precision, ~4x MXU rate) unless PYCOLMAP_TPU_PM_F32=1."""
-    import os
-
-    if os.environ.get("PYCOLMAP_TPU_PM_F32", "0") == "1":
-        return jnp.float32
-    return jnp.bfloat16
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=("H", "W", "offsets", "w_spatial", "geom", "interpret",
-                     "sample_dtype"),
+    static_argnames=("H", "W", "geom", "interpret"),
 )
 def pm_view_costs_pallas(
-    src_pad, sdep_pad, ref_halo_pad, d_pad, n_pad, stats_pad, params,
-    y0, x0, H, W, offsets, w_spatial, geom=False, interpret=False,
-    sample_dtype=jnp.bfloat16,
+    src_pad, sdep_pad, w_pad, wr_pad, d_pad, n_pad, stats_pad, params,
+    offs, y0, x0, H, W, geom=False, interpret=False,
 ):
     """Per-view PatchMatch window costs for one candidate plane field.
 
     src_pad [K, Hp, Wp] f32 zero-padded sources (Hp >= BAND_Y mult 8,
     Wp >= BAND_X mult 128); sdep_pad: same-shape source depth bands (any
-    [K, Hp, Wp] array when geom=False — unused); ref_halo_pad
-    [Hp + 16, Wp + 256] reference padded by (8, 128) on the top-left;
+    [K, Hp, Wp] array when geom=False — unused); w_pad [nw, Hp, Wp]
+    bilateral window weights (spatial x color, the XLA path's w_off);
+    wr_pad [nw, Hp, Wp] = w_off * ref_off (weight times shifted reference);
     d_pad [Hp, Wp]; n_pad [3, Hp, Wp]; stats_pad [3, Hp, Wp] (w_sum,
-    ref_mean, ref_var); params [K, 32] view rows; y0/x0 [K, T] band
-    origins (T = (Hp/8) * (Wp/128), row-major tiles).
+    ref_mean, ref_var); params [K, 32] view rows; offs [nw, 2] f32 window
+    offsets (dy, dx); y0/x0 [K, T] band origins (T = (Hp/8) * (Wp/128),
+    row-major tiles).
     Returns cost [K, Hp, Wp] f32 (padding region = garbage, crop it).
     """
     K, Hp, Wp = src_pad.shape
+    nw = w_pad.shape[0]
     nty, ntx = Hp // TILE_Y, Wp // TILE_X
-    kernel = _make_kernel(H, W, offsets, w_spatial, geom, ntx, sample_dtype)
+    kernel = _make_kernel(H, W, geom, ntx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(K, nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params [K, 32]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # offs [nw, 2]
             pl.BlockSpec(memory_space=pl.ANY),  # src_pad
             pl.BlockSpec(memory_space=pl.ANY),  # sdep_pad
-            pl.BlockSpec(memory_space=pl.ANY),  # ref_halo_pad
+            pl.BlockSpec((nw, TILE_Y, TILE_X),
+                         lambda v, ty, tx, *_: (0, ty, tx)),
+            pl.BlockSpec((nw, TILE_Y, TILE_X),
+                         lambda v, ty, tx, *_: (0, ty, tx)),
             pl.BlockSpec((TILE_Y, TILE_X), lambda v, ty, tx, *_: (ty, tx)),
             pl.BlockSpec((3, TILE_Y, TILE_X),
                          lambda v, ty, tx, *_: (0, ty, tx)),
@@ -311,8 +332,7 @@ def pm_view_costs_pallas(
         scratch_shapes=[
             pltpu.VMEM((BAND_Y, BAND_X), jnp.float32),
             pltpu.VMEM((BAND_Y, BAND_X), jnp.float32),
-            pltpu.VMEM((HALO_Y, HALO_X), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -320,7 +340,7 @@ def pm_view_costs_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, Hp, Wp), jnp.float32),
         interpret=interpret,
-    )(y0, x0, params, src_pad, sdep_pad, ref_halo_pad, d_pad, n_pad,
+    )(y0, x0, params, offs, src_pad, sdep_pad, w_pad, wr_pad, d_pad, n_pad,
       stats_pad)
 
 

@@ -23,18 +23,13 @@ def main():
     Hp = max(-(-H // 8) * 8, pmk.BAND_Y)
     Wp = max(-(-W // 128) * 128, pmk.BAND_X)
     offsets = pm._window_offsets(radius, step)
-    sg = (max(radius, 1) / 1.5) ** 2
-    offs_t = tuple((int(dy), int(dx)) for dy, dx in offsets)
-    wsp_t = tuple(
-        float(x)
-        for x in np.exp(-(offsets[:, 0] ** 2 + offsets[:, 1] ** 2) / (2 * sg))
-    )
+    nw = len(offsets)
+    offs = jnp.asarray(np.asarray(offsets), jnp.float32)
     nty, ntx = Hp // 8, Wp // 128
     T = nty * ntx
     src_pad = jnp.asarray(rng.uniform(0, 1, (K, Hp, Wp)).astype(np.float32))
-    halo_pad = jnp.asarray(
-        rng.uniform(0, 1, (Hp + 16, Wp + 256)).astype(np.float32)
-    )
+    w_pad = jnp.asarray(rng.uniform(0, 1, (nw, Hp, Wp)).astype(np.float32))
+    wr_pad = jnp.asarray(rng.uniform(0, 1, (nw, Hp, Wp)).astype(np.float32))
     d_pad = jnp.asarray(rng.uniform(2, 8, (Hp, Wp)).astype(np.float32))
     n_pad = jnp.asarray(
         np.broadcast_to(
@@ -58,29 +53,30 @@ def main():
     y0 = jnp.zeros((K, T), jnp.int32)
     x0 = jnp.zeros((K, T), jnp.int32)
 
-    flops = K * T * len(offs_t) * 8 * 2 * 128 * pmk.BAND_Y * pmk.BAND_X
+    samples = K * T * nw * 8 * 128  # bilinear fetches per eval
 
-    for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+    for geom in (False, True):
+        t0 = time.perf_counter()
         out = pmk.pm_view_costs_pallas(
-            src_pad, src_pad, halo_pad, d_pad, n_pad, stats_pad,
-            params, y0, x0, H, W, offs_t, wsp_t,
-            geom=False, interpret=False, sample_dtype=dt,
+            src_pad, src_pad, w_pad, wr_pad, d_pad, n_pad, stats_pad,
+            params, offs, y0, x0, H, W, geom=geom, interpret=False,
         )
         np.asarray(out)
+        t_compile = time.perf_counter() - t0
         n = 5
         t0 = time.perf_counter()
         for i in range(n):
             out = pmk.pm_view_costs_pallas(
-                src_pad, src_pad, halo_pad,
+                src_pad, src_pad, w_pad, wr_pad,
                 d_pad + np.float32(0.001 * i), n_pad, stats_pad,
-                params, y0, x0, H, W, offs_t, wsp_t,
-                geom=False, interpret=False, sample_dtype=dt,
+                params, offs, y0, x0, H, W, geom=geom, interpret=False,
             )
             np.asarray(out)
         dt_s = (time.perf_counter() - t0) / n
         print(
-            f"pm_view_costs[{dt_name}] {W}x{H} K={K}: {dt_s*1e3:.1f} ms/eval"
-            f"  ({flops/dt_s/1e12:.1f} TFLOP/s tent-matmul)",
+            f"pm_view_costs[geom={geom}] {W}x{H} K={K}: "
+            f"{dt_s*1e3:.1f} ms/eval ({samples/dt_s/1e9:.2f} G samples/s, "
+            f"compile+1st {t_compile:.1f}s)",
             flush=True,
         )
 

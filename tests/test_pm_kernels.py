@@ -69,8 +69,7 @@ def _window_stats(ref, offsets, sg, sigma_color):
     return ref_off, w_off, w_sum, ref_mean, ref_var
 
 
-def _compare(geom, depth_field, normal_field, radius=2, step=2, atol=5e-3,
-             sample_dtype=jnp.float32):
+def _compare(geom, depth_field, normal_field, radius=2, step=2, atol=5e-3):
     H, W, K = 40, 60, 2
     ref, srcs, rays, Kmat, R_rel, t_rel = _scene(H, W, K)
     offsets = pm._window_offsets(radius, step)
@@ -101,9 +100,8 @@ def _compare(geom, depth_field, normal_field, radius=2, step=2, atol=5e-3,
     vc_pallas = pm.make_pallas_view_costs(
         ref_j, jnp.asarray(srcs), rays_j, jnp.asarray(np.stack([Kmat] * K)),
         jnp.asarray(R_rel), jnp.asarray(t_rel), jnp.asarray(Kmat),
-        w_sum, ref_mean, ref_var, offsets, sg, sigma_color,
+        w_off, ref_off, w_sum, ref_mean, ref_var, offsets, sigma_color,
         geom, src_depths, geom_w, geom_max, radius, interpret=True,
-        sample_dtype=sample_dtype,
     )
     c_pal = vc_pallas(depth, normal)
     assert c_pal.shape == (K, H, W)
@@ -145,16 +143,29 @@ def test_pm_pallas_matches_xla_geometric():
     )
 
 
-def test_pm_pallas_bf16_sampling_close():
-    """bf16 tent matmuls (the TPU production setting) stay within GPU
-    texture-unit-grade error of the f32 XLA reference."""
-    _compare(
-        geom=False,
-        depth_field=lambda H, W: np.full((H, W), 5.0),
-        normal_field=lambda rays: -rays / np.linalg.norm(rays, axis=0),
-        atol=4e-2,
-        sample_dtype=jnp.bfloat16,
+def test_pm_gather_row_sample_exact():
+    """The chunked lane-gather sampler is exact bilinear on random bands."""
+    rng = np.random.default_rng(3)
+    band = rng.uniform(0, 1, (pmk.BAND_Y, pmk.BAND_X)).astype(np.float32)
+    rv = rng.uniform(0, pmk.BAND_Y - 1.01, pmk.TILE_X).astype(np.float32)
+    ru = rng.uniform(0, pmk.BAND_X - 1.01, pmk.TILE_X).astype(np.float32)
+    chunks, chunks1 = pmk._band_chunks(jnp.asarray(band))
+    out = np.asarray(
+        pmk._gather_row_sample(
+            chunks, chunks1, jnp.asarray(rv), jnp.asarray(ru),
+            jnp.ones(pmk.TILE_X, bool),
+        )
     )
+    y0 = np.floor(rv).astype(int)
+    x0 = np.floor(ru).astype(int)
+    fy, fx = rv - y0, ru - x0
+    ref = (
+        band[y0, x0] * (1 - fy) * (1 - fx)
+        + band[y0, x0 + 1] * (1 - fy) * fx
+        + band[y0 + 1, x0] * fy * (1 - fx)
+        + band[y0 + 1, x0 + 1] * fy * fx
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
 def test_band_origins_alignment():

@@ -78,6 +78,9 @@ def main():
     try:
         env = dict(os.environ)
         env["BENCH_CPU_WORKER"] = "1"
+        # the CPU baseline must use the XLA paths: interpret-mode Pallas
+        # (the CPU fallback of PYCOLMAP_TPU_BA_PALLAS=1) is not a baseline
+        env["PYCOLMAP_TPU_BA_PALLAS"] = "0"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -31,6 +31,7 @@ per-shard Schur elimination with psum-assembled camera systems (SURVEY §2c P4).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -698,12 +699,22 @@ def _lm_solve_bucketed(
     num_cameras, model_id, loss_type, loss_scale, cg_iters, max_iterations,
     img2cam=None,
 ):
+    from pycolmap_tpu.sfm import cg_kernel as _ck
+
     I, C = num_images, num_cameras
     use_onehot = I <= _ONEHOT_MAX_SEGMENTS
+    use_pallas_mv = _ck.matvec_enabled()
+    # with the fused Pallas CG kernels the implicit path beats the dense
+    # build well before D = 2048 (measured 24.3 vs 10.7 LM iters/s at
+    # C3 scale, D = 780); keep dense only for small local-BA windows
+    dense_default = 512 if use_pallas_mv else _DENSE_SCHUR_MAX_D
+    dense_max_d = int(
+        os.environ.get("PYCOLMAP_TPU_DENSE_SCHUR_MAX_D", dense_default)
+    )
     use_dense = (
         img2cam is not None
         and use_onehot
-        and (6 * I + MAX_PARAMS * C) <= _DENSE_SCHUR_MAX_D
+        and (6 * I + MAX_PARAMS * C) <= dense_max_d
     )
 
     # Transposed one-hots serve both the matmul-gathers (full f32 value
@@ -799,6 +810,113 @@ def _lm_solve_bucketed(
         done = jnp.logical_or(done, lam > 1e10)
         return quat, trans, intr, pts_out, lam, cost_out, it + 1, done
 
+    def _cg_phase(quat, trans, intr, pts_list, lam, cost, it, done,
+                  J_l, Vinv_l, g_pt_l, rhs_pose, rhs_intr,
+                  U_diag_pose, U_diag_intr, S_blocks):
+        """SCHUR_JACOBI preconditioner + implicit-matvec PCG + step.
+
+        Shared tail of lm_step for the fused-Pallas and XLA
+        preparation paths."""
+        tri = [(i, j) for i in range(6) for j in range(i, 6)]
+        damp_pose = lam * jnp.maximum(U_diag_pose, 1e-6)
+        damp_intr = lam * jnp.maximum(U_diag_intr, 1e-6)
+
+        # unpack packed sym 6x6 + damping, invert per image
+        S_full = jnp.zeros((I, 6, 6))
+        for k, (i, j) in enumerate(tri):
+            S_full = S_full.at[:, i, j].set(S_blocks[:, k])
+            if i != j:
+                S_full = S_full.at[:, j, i].set(S_blocks[:, k])
+        S_full = S_full + jax.vmap(jnp.diag)(damp_pose + 1e-8)
+        P_inv = jnp.linalg.inv(S_full + 1e-6 * jnp.eye(6))
+
+        def precond(r_pose, r_intr):
+            p_pose = jnp.einsum("iab,ib->ia", P_inv, r_pose) * pose_free
+            denom = U_diag_intr + damp_intr
+            p_intr = r_intr / jnp.where(denom < 1e-8, 1.0, denom)
+            return p_pose, p_intr * intr_free
+
+        # CG-stream Jacobian dtype. bf16 replicas were measured SLOWER here:
+        # bf16 tiles are (16, 128) and the dominant track-length bucket has
+        # T=8, so the halved traffic is eaten by sublane padding (plus the
+        # per-LM-iteration cast of [2, 21, T, P]). Kept as a knob — revisit
+        # if bucket shapes change.
+        _CG_DTYPE = jnp.float32
+        J16_l = [
+            J if _CG_DTYPE == jnp.float32 else J.astype(_CG_DTYPE)
+            for J in J_l
+        ]
+
+        def matvec(x_pose, x_intr):
+            out_pose = damp_pose * x_pose
+            out_intr = damp_intr * x_intr
+            if use_pallas_mv:
+                # fused Pallas matvec: streams J once, no HBM one-hots
+                # (the XLA path below reads 2.1 GB of one-hot per matvec
+                # at C3 scale — see cg_kernel.py)
+                mp, mi = _ck.schur_matvec(
+                    buckets, J16_l, Vinv_l, x_pose, x_intr, I, C
+                )
+                return (
+                    (out_pose + mp) * pose_free,
+                    (out_intr + mi) * intr_free,
+                )
+            for b, J16, Vinv, onehot_i, onehot_c in zip(
+                buckets, J16_l, Vinv_l, onehots_img, onehots_cam
+            ):
+                if onehot_i is not None:
+                    xp = _gather_mm(x_pose, onehot_i, b.mask.shape)
+                    xi = _gather_mm(x_intr, onehot_c, b.mask.shape)
+                else:
+                    xp = jnp.stack(_gather_table(x_pose, b.img_idx))
+                    xi = jnp.stack(_gather_table(x_intr, b.cam_idx))
+                xc = jnp.concatenate([xp, xi]).astype(_CG_DTYPE)  # [18,T,P]
+                a_obs = sum(
+                    J16[:, k] * xc[k][None] for k in range(18)
+                )  # [2, T, P]
+                y_p = _jt_apply_sum_t(J16[:, 18:21], a_obs.astype(_CG_DTYPE))
+                z_p = jnp.stack(_sym3_apply(Vinv, (y_p[0], y_p[1], y_p[2])))
+                d = a_obs - _j_apply_pt(
+                    J16[:, 18:21], z_p.astype(_CG_DTYPE)
+                )
+                d16 = d.astype(_CG_DTYPE)
+                op = _jt_apply(J16[:, :6], d16)
+                out_pose = out_pose + _scatter_cam(op, onehot_i, b.img_idx, I)
+                oi = _jt_apply(J16[:, 6:18], d16)
+                out_intr = out_intr + _scatter_cam(oi, onehot_c, b.cam_idx, C)
+            return out_pose * pose_free, out_intr * intr_free
+
+        # --- PCG ----------------------------------------------------------
+        def cg_body(carry, _):
+            x_pose, x_intr, r_pose, r_intr, p_pose, p_intr, rz = carry
+            Ap_pose, Ap_intr = matvec(p_pose, p_intr)
+            pAp = jnp.sum(p_pose * Ap_pose) + jnp.sum(p_intr * Ap_intr)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+            x_pose = x_pose + alpha * p_pose
+            x_intr = x_intr + alpha * p_intr
+            r_pose = r_pose - alpha * Ap_pose
+            r_intr = r_intr - alpha * Ap_intr
+            z_pose, z_intr = precond(r_pose, r_intr)
+            rz_new = jnp.sum(r_pose * z_pose) + jnp.sum(r_intr * z_intr)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p_pose = z_pose + beta * p_pose
+            p_intr = z_intr + beta * p_intr
+            return (x_pose, x_intr, r_pose, r_intr, p_pose, p_intr, rz_new), None
+
+        z_pose, z_intr = precond(rhs_pose, rhs_intr)
+        rz0 = jnp.sum(rhs_pose * z_pose) + jnp.sum(rhs_intr * z_intr)
+        (x_pose, x_intr, *_), _ = jax.lax.scan(
+            cg_body,
+            (jnp.zeros_like(rhs_pose), jnp.zeros_like(rhs_intr),
+             rhs_pose, rhs_intr, z_pose, z_intr, rz0),
+            None,
+            length=cg_iters,
+        )
+        return _finish_step(
+            quat, trans, intr, pts_list, lam, cost, it, done,
+            x_pose, x_intr, J_l, Vinv_l, g_pt_l,
+        )
+
     def lm_step(state):
         quat, trans, intr, pts_list, lam, cost, it, done = state
 
@@ -817,6 +935,31 @@ def _lm_solve_bucketed(
             sw = jnp.sqrt(w)
             res_l.append(res * sw[None])
             J_l.append(J * sw[None, None])
+
+        if use_pallas_mv:
+            # fused Pallas preparation: V inverses, point gradients,
+            # reduced RHS, damping diagonals, and SCHUR_JACOBI blocks in
+            # one pass over J per bucket (see cg_kernel.schur_prepare) —
+            # replaces the four XLA stages below and their one-hot streams
+            (Vinv_l, g_pt_l, rhs_pose, rhs_intr, U_diag_pose, U_diag_intr,
+             S_blocks) = _ck.schur_prepare(buckets, J_l, res_l, lam, I, C)
+            rhs_pose = rhs_pose * pose_free
+            rhs_intr = rhs_intr * intr_free
+            if use_dense:
+                x_pose, x_intr = _dense_schur_solve(
+                    buckets, J_l, Vinv_l, onehots_img, onehots_cam,
+                    rhs_pose, rhs_intr, lam, pose_free, intr_free, img2cam,
+                    I, C, max(cg_iters, 64),
+                )
+                return _finish_step(
+                    quat, trans, intr, pts_list, lam, cost, it, done,
+                    x_pose, x_intr, J_l, Vinv_l, g_pt_l,
+                )
+            return _cg_phase(
+                quat, trans, intr, pts_list, lam, cost, it, done,
+                J_l, Vinv_l, g_pt_l, rhs_pose, rhs_intr,
+                U_diag_pose, U_diag_intr, S_blocks,
+            )
 
         # --- point blocks V (packed sym) + inverse ------------------------
         Vinv_l = []
@@ -919,92 +1062,10 @@ def _lm_solve_bucketed(
             )
             S_blocks = S_blocks + _scatter_cam(blocks, onehot_i, b.img_idx, I)
 
-        damp_pose = lam * jnp.maximum(U_diag_pose, 1e-6)
-        damp_intr = lam * jnp.maximum(U_diag_intr, 1e-6)
-
-        # unpack packed sym 6x6 + damping, invert per image
-        S_full = jnp.zeros((I, 6, 6))
-        for k, (i, j) in enumerate(tri):
-            S_full = S_full.at[:, i, j].set(S_blocks[:, k])
-            if i != j:
-                S_full = S_full.at[:, j, i].set(S_blocks[:, k])
-        S_full = S_full + jax.vmap(jnp.diag)(damp_pose + 1e-8)
-        P_inv = jnp.linalg.inv(S_full + 1e-6 * jnp.eye(6))
-
-        def precond(r_pose, r_intr):
-            p_pose = jnp.einsum("iab,ib->ia", P_inv, r_pose) * pose_free
-            denom = U_diag_intr + damp_intr
-            p_intr = r_intr / jnp.where(denom < 1e-8, 1.0, denom)
-            return p_pose, p_intr * intr_free
-
-        # CG-stream Jacobian dtype. bf16 replicas were measured SLOWER here:
-        # bf16 tiles are (16, 128) and the dominant track-length bucket has
-        # T=8, so the halved traffic is eaten by sublane padding (plus the
-        # per-LM-iteration cast of [2, 21, T, P]). Kept as a knob — revisit
-        # if bucket shapes change.
-        _CG_DTYPE = jnp.float32
-        J16_l = [
-            J if _CG_DTYPE == jnp.float32 else J.astype(_CG_DTYPE)
-            for J in J_l
-        ]
-
-        def matvec(x_pose, x_intr):
-            out_pose = damp_pose * x_pose
-            out_intr = damp_intr * x_intr
-            for b, J16, Vinv, onehot_i, onehot_c in zip(
-                buckets, J16_l, Vinv_l, onehots_img, onehots_cam
-            ):
-                if onehot_i is not None:
-                    xp = _gather_mm(x_pose, onehot_i, b.mask.shape)
-                    xi = _gather_mm(x_intr, onehot_c, b.mask.shape)
-                else:
-                    xp = jnp.stack(_gather_table(x_pose, b.img_idx))
-                    xi = jnp.stack(_gather_table(x_intr, b.cam_idx))
-                xc = jnp.concatenate([xp, xi]).astype(_CG_DTYPE)  # [18,T,P]
-                a_obs = sum(
-                    J16[:, k] * xc[k][None] for k in range(18)
-                )  # [2, T, P]
-                y_p = _jt_apply_sum_t(J16[:, 18:21], a_obs.astype(_CG_DTYPE))
-                z_p = jnp.stack(_sym3_apply(Vinv, (y_p[0], y_p[1], y_p[2])))
-                d = a_obs - _j_apply_pt(
-                    J16[:, 18:21], z_p.astype(_CG_DTYPE)
-                )
-                d16 = d.astype(_CG_DTYPE)
-                op = _jt_apply(J16[:, :6], d16)
-                out_pose = out_pose + _scatter_cam(op, onehot_i, b.img_idx, I)
-                oi = _jt_apply(J16[:, 6:18], d16)
-                out_intr = out_intr + _scatter_cam(oi, onehot_c, b.cam_idx, C)
-            return out_pose * pose_free, out_intr * intr_free
-
-        # --- PCG ----------------------------------------------------------
-        def cg_body(carry, _):
-            x_pose, x_intr, r_pose, r_intr, p_pose, p_intr, rz = carry
-            Ap_pose, Ap_intr = matvec(p_pose, p_intr)
-            pAp = jnp.sum(p_pose * Ap_pose) + jnp.sum(p_intr * Ap_intr)
-            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
-            x_pose = x_pose + alpha * p_pose
-            x_intr = x_intr + alpha * p_intr
-            r_pose = r_pose - alpha * Ap_pose
-            r_intr = r_intr - alpha * Ap_intr
-            z_pose, z_intr = precond(r_pose, r_intr)
-            rz_new = jnp.sum(r_pose * z_pose) + jnp.sum(r_intr * z_intr)
-            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
-            p_pose = z_pose + beta * p_pose
-            p_intr = z_intr + beta * p_intr
-            return (x_pose, x_intr, r_pose, r_intr, p_pose, p_intr, rz_new), None
-
-        z_pose, z_intr = precond(rhs_pose, rhs_intr)
-        rz0 = jnp.sum(rhs_pose * z_pose) + jnp.sum(rhs_intr * z_intr)
-        (x_pose, x_intr, *_), _ = jax.lax.scan(
-            cg_body,
-            (jnp.zeros_like(rhs_pose), jnp.zeros_like(rhs_intr),
-             rhs_pose, rhs_intr, z_pose, z_intr, rz0),
-            None,
-            length=cg_iters,
-        )
-        return _finish_step(
+        return _cg_phase(
             quat, trans, intr, pts_list, lam, cost, it, done,
-            x_pose, x_intr, J_l, Vinv_l, g_pt_l,
+            J_l, Vinv_l, g_pt_l, rhs_pose, rhs_intr,
+            U_diag_pose, U_diag_intr, S_blocks,
         )
 
     def cond(state):

@@ -1,0 +1,434 @@
+"""Pallas TPU kernel: fused Schur-complement CG matvec for bundle adjustment.
+
+One implicit matvec of the reduced camera system
+  S x = (U + damp) x - W V^-1 W^T x
+evaluated per observation bucket (ref: Ceres ITERATIVE_SCHUR implicit
+SchurComplementOperator; upstream ceres/internal/implicit_schur_complement).
+
+Why a kernel: the XLA formulation gathers/scatters camera parameters per
+observation through precomputed one-hot matrices of shape [I, T*P] — at C3
+bench scale (128 images, 600k obs) each one-hot is 537 MB of f32 streamed
+from HBM, and a matvec touches four of them (pose/intr gather + pose/intr
+scatter) -> 2.1 GB -> 2.6 ms at v5e bandwidth, which matched the measured
+2.37 ms/matvec exactly: the matvec was one-hot-bound, not math-bound. This
+kernel streams J once (176 MB), keeps the camera tables VMEM-resident with
+images in LANES, gathers x per observation via tpu.dynamic_gather (single
+128-wide vreg chunks, the pattern proven in mvs/pm_kernels.py), evaluates
+the J / V^-1 / J^T chain per [T, 128] tile in registers, and scatters with
+per-tile in-VMEM one-hot dot_generals (the one-hot never exists in HBM).
+
+Layouts: J [2, 21, T, P] component-first (6 pose | 12 intrinsics | 3 point
+columns); img_idx/cam_idx [T, P] (a point's track occupies one column — the
+track reduction is a sublane sum); camera tables transposed [rows, Ipad]
+so the image axis is the lane axis.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pycolmap_tpu.ops.camera_models import MAX_PARAMS
+
+_LANES = 128
+
+
+def matvec_enabled() -> bool:
+    """Whether the bucketed BA solver should use this kernel.
+
+    PYCOLMAP_TPU_BA_PALLAS: "0" forces the XLA one-hot path, "1" forces the
+    kernel (interpret mode on CPU), default "auto" = kernel on TPU only.
+    """
+    mode = os.environ.get("PYCOLMAP_TPU_BA_PALLAS", "auto").lower()
+    if mode in ("0", "off", "false"):
+        return False
+    if mode in ("1", "on", "true", "interpret"):
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def interpret_default() -> bool:
+    try:
+        return jax.default_backend() in ("cpu",)
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _chunk_gather(table_ref, row, idx, T, n_chunks):
+    """table[row, idx] for idx [T, 128] -> [T, 128] f32.
+
+    Per 128-lane chunk of the table row: broadcast to [T, 128], lane-gather
+    with the in-chunk remainder, select by chunk membership.
+    """
+    out = jnp.zeros((T, _LANES), jnp.float32)
+    for c in range(n_chunks):
+        src = jnp.broadcast_to(
+            table_ref[row, c * _LANES:(c + 1) * _LANES][None, :], (T, _LANES)
+        )
+        rem = jnp.clip(idx - c * _LANES, 0, _LANES - 1)
+        hit = (idx >= c * _LANES) & (idx < (c + 1) * _LANES)
+        out = jnp.where(hit, jnp.take_along_axis(src, rem, axis=1), out)
+    return out
+
+
+def _tile_scatter(acc, vals, idx, T, n_chunks):
+    """acc[r, i] += sum_{t,p: idx[t,p]==i} vals[r][t, p] via per-(t, chunk)
+    one-hot dot_generals (one-hot built in registers from iota == idx)."""
+    R = len(vals)
+    for t in range(T):
+        v_t = jnp.stack([vals[r][t] for r in range(R)])  # [R, 128]
+        idx_t = idx[t]
+        for c in range(n_chunks):
+            oh = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (_LANES, _LANES), 0
+                ) + c * _LANES
+                == idx_t[None, :]
+            ).astype(jnp.float32)  # [128 (i), 128 (p)]
+            contrib = jax.lax.dot_general(
+                v_t, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [R, 128 (i)]
+            sl = pl.ds(c * _LANES, _LANES)
+            acc[0:R, sl] = acc[0:R, sl] + contrib
+
+
+def _make_kernel(T, n_pt, n_ichunks, n_cchunks):
+    def kernel(J_ref, ii_ref, ci_ref, vinv_ref, xp_ref, xi_ref,
+               outp_ref, outi_ref, accp, acci):
+        pt = pl.program_id(0)
+
+        @pl.when(pt == 0)
+        def _init():
+            accp[:] = jnp.zeros_like(accp)
+            acci[:] = jnp.zeros_like(acci)
+
+        J = J_ref[:]  # [2, 21, T, 128]
+        ii = ii_ref[:]  # [T, 128] int32
+        ci = ci_ref[:]
+
+        # per-observation camera-side x: 6 pose + MAX_PARAMS intr components
+        xc = [
+            _chunk_gather(xp_ref, k, ii, T, n_ichunks) for k in range(6)
+        ] + [
+            _chunk_gather(xi_ref, k, ci, T, n_cchunks)
+            for k in range(MAX_PARAMS)
+        ]
+        nk = 6 + MAX_PARAMS
+        a0 = sum(J[0, k] * xc[k] for k in range(nk))  # [T, 128]
+        a1 = sum(J[1, k] * xc[k] for k in range(nk))
+
+        # y = Jp^T a summed over the track (sublane) axis -> per-point [128]
+        y = [
+            jnp.sum(J[0, nk + a] * a0 + J[1, nk + a] * a1, axis=0)
+            for a in range(3)
+        ]
+        va, vb, vc, vd, ve, vf = (vinv_ref[i] for i in range(6))
+        z0 = va * y[0] + vb * y[1] + vc * y[2]
+        z1 = vb * y[0] + vd * y[1] + ve * y[2]
+        z2 = vc * y[0] + ve * y[1] + vf * y[2]
+        d0 = a0 - (
+            J[0, nk] * z0[None] + J[0, nk + 1] * z1[None]
+            + J[0, nk + 2] * z2[None]
+        )
+        d1 = a1 - (
+            J[1, nk] * z0[None] + J[1, nk + 1] * z1[None]
+            + J[1, nk + 2] * z2[None]
+        )
+
+        vals = [J[0, k] * d0 + J[1, k] * d1 for k in range(nk)]
+        _tile_scatter(accp, vals[:6], ii, T, n_ichunks)
+        _tile_scatter(acci, vals[6:], ci, T, n_cchunks)
+
+        @pl.when(pt == n_pt - 1)
+        def _flush():
+            outp_ref[:] = accp[:]
+            outi_ref[:] = acci[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cg_matvec_bucket(J, img_idx, cam_idx, Vinv, xpose_t, xintr_t,
+                     interpret=False):
+    """One bucket's contribution to the implicit Schur matvec.
+
+    J [2, 21, T, P] f32 (padding slots all-zero); img_idx/cam_idx [T, P]
+    int32; Vinv [6, P] packed symmetric (lambda-damped) point-block
+    inverses; xpose_t [8, Ip] f32 (rows 0-5 = x_pose^T, Ip mult of 128);
+    xintr_t [MAX_PARAMS(+pad), Cp] f32. Returns (outp_t [8, Ip],
+    outi_t like xintr_t): J_c^T (I - J_p V^-1 J_p^T) J_c x accumulated per
+    camera, transposed layouts.
+    """
+    _, _, T, P = J.shape
+    n_pt = P // _LANES
+    n_ichunks = xpose_t.shape[1] // _LANES
+    n_cchunks = xintr_t.shape[1] // _LANES
+    kernel = _make_kernel(T, n_pt, n_ichunks, n_cchunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_pt,),
+        in_specs=[
+            pl.BlockSpec((2, 21, T, _LANES), lambda p: (0, 0, 0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((6, _LANES), lambda p: (0, p)),
+            pl.BlockSpec(xpose_t.shape, lambda p: (0, 0)),
+            pl.BlockSpec(xintr_t.shape, lambda p: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(xpose_t.shape, lambda p: (0, 0)),
+            pl.BlockSpec(xintr_t.shape, lambda p: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(xpose_t.shape, jnp.float32),
+            pltpu.VMEM(xintr_t.shape, jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(xpose_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(xintr_t.shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(J, img_idx, cam_idx, Vinv, xpose_t, xintr_t)
+
+
+def _make_prepare_kernel(T, n_pt, n_ichunks, n_cchunks):
+    """Fused per-bucket LM-step preparation (one pass over J):
+
+      V       = lam-damped point blocks J_p^T J_p  -> packed 3x3 inverses
+      g_pt    = J_p^T res per point (track = sublane sum)
+      rhs     = J_c^T (res - J_p V^-1 g_pt) scattered per camera
+      U_diag  = diag(J_c^T J_c) per camera (damping diagonals)
+      S       = per-camera 6x6 SCHUR_JACOBI blocks
+                sum_obs (Jc^T Jc - W V^-1 W^T), W = Jc^T Jp
+
+    Replaces four XLA stages (V build 6.1 ms, gradients+rhs 7.4 ms,
+    precond build 18.2 ms at C3 scale — dominated by 537 MB one-hot
+    scatter streams and materialized [*, T, P] intermediates).
+    """
+    MP = MAX_PARAMS
+    nk = 6 + MP
+    tri = [(i, j) for i in range(6) for j in range(i, 6)]
+
+    def kernel(J_ref, res_ref, ii_ref, ci_ref, lam_ref,
+               vinv_ref, gpt_ref, outi_ref, outc_ref, acci, accc):
+        pt = pl.program_id(0)
+
+        @pl.when(pt == 0)
+        def _init():
+            acci[:] = jnp.zeros_like(acci)
+            accc[:] = jnp.zeros_like(accc)
+
+        J = J_ref[:]  # [2, 21, T, 128]
+        res = res_ref[:]  # [2, T, 128]
+        ii = ii_ref[:]
+        ci = ci_ref[:]
+        lam = lam_ref[0, 0]
+
+        Jp = [[J[r, nk + a] for a in range(3)] for r in range(2)]
+
+        # --- lam-damped point blocks + packed inverse ---------------------
+        pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        V = [
+            jnp.sum(Jp[0][i] * Jp[0][j] + Jp[1][i] * Jp[1][j], axis=0)
+            for i, j in pairs
+        ]  # 6 x [128]
+        V[0] = V[0] + lam * jnp.maximum(V[0], 1e-6)
+        V[3] = V[3] + lam * jnp.maximum(V[3], 1e-6)
+        V[5] = V[5] + lam * jnp.maximum(V[5], 1e-6)
+        a_, b_, c_, d_, e_, f_ = V
+        iA = d_ * f_ - e_ * e_
+        iB = c_ * e_ - b_ * f_
+        iC = b_ * e_ - c_ * d_
+        det = a_ * iA + b_ * iB + c_ * iC
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        iD = a_ * f_ - c_ * c_
+        iE = b_ * c_ - a_ * e_
+        iF = a_ * d_ - b_ * b_
+        va, vb, vc = iA / det, iB / det, iC / det
+        vd, ve, vf = iD / det, iE / det, iF / det
+
+        # --- point gradient + z0 = V^-1 g_pt ------------------------------
+        g = [
+            jnp.sum(Jp[0][a] * res[0] + Jp[1][a] * res[1], axis=0)
+            for a in range(3)
+        ]
+        z0 = (
+            va * g[0] + vb * g[1] + vc * g[2],
+            vb * g[0] + vd * g[1] + ve * g[2],
+            vc * g[0] + ve * g[1] + vf * g[2],
+        )
+        rmj = [
+            res[r]
+            - (
+                Jp[r][0] * z0[0][None]
+                + Jp[r][1] * z0[1][None]
+                + Jp[r][2] * z0[2][None]
+            )
+            for r in range(2)
+        ]
+
+        # --- per-camera rows: rhs | U diag | S blocks ---------------------
+        rhs = [J[0, k] * rmj[0] + J[1, k] * rmj[1] for k in range(nk)]
+        ud = [J[0, k] * J[0, k] + J[1, k] * J[1, k] for k in range(nk)]
+        W = [
+            [
+                J[0, k] * Jp[0][a] + J[1, k] * Jp[1][a]
+                for a in range(3)
+            ]
+            for k in range(6)
+        ]
+        VW = [
+            (
+                va[None] * W[k][0] + vb[None] * W[k][1] + vc[None] * W[k][2],
+                vb[None] * W[k][0] + vd[None] * W[k][1] + ve[None] * W[k][2],
+                vc[None] * W[k][0] + ve[None] * W[k][1] + vf[None] * W[k][2],
+            )
+            for k in range(6)
+        ]
+        blocks = [
+            J[0, i] * J[0, j] + J[1, i] * J[1, j]
+            - (
+                VW[i][0] * W[j][0] + VW[i][1] * W[j][1] + VW[i][2] * W[j][2]
+            )
+            for (i, j) in tri
+        ]
+
+        _tile_scatter(acci, rhs[:6] + ud[:6] + blocks, ii, T, n_ichunks)
+        _tile_scatter(accc, rhs[6:] + ud[6:], ci, T, n_cchunks)
+
+        vinv_ref[:] = jnp.stack([va, vb, vc, vd, ve, vf])
+        gpt_ref[:] = jnp.stack(g)
+
+        @pl.when(pt == n_pt - 1)
+        def _flush():
+            outi_ref[:] = acci[:]
+            outc_ref[:] = accc[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("Ip", "Cp", "interpret"))
+def schur_prepare_bucket(J, res, img_idx, cam_idx, lam, Ip, Cp,
+                         interpret=False):
+    """One bucket's fused LM preparation. Returns (Vinv [6, P], g_pt [3, P],
+    cam_img_t [40, Ip] rows = 6 rhs_pose | 6 U_diag_pose | 21 S_blocks(tri),
+    cam_cam_t [24, Cp] rows = MAX_PARAMS rhs_intr | MAX_PARAMS U_diag_intr).
+    lam: f32 scalar (as [1, 1]). Ip/Cp: 128-multiples (static)."""
+    _, _, T, P = J.shape
+    n_pt = P // _LANES
+    kernel = _make_prepare_kernel(
+        T, n_pt, Ip // _LANES, Cp // _LANES
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_pt,),
+        in_specs=[
+            pl.BlockSpec((2, 21, T, _LANES), lambda p: (0, 0, 0, p)),
+            pl.BlockSpec((2, T, _LANES), lambda p: (0, 0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lam [1, 1]
+        ],
+        out_specs=[
+            pl.BlockSpec((6, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((3, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((40, Ip), lambda p: (0, 0)),
+            pl.BlockSpec((24, Cp), lambda p: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((40, Ip), jnp.float32),
+            pltpu.VMEM((24, Cp), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((6, P), jnp.float32),
+            jax.ShapeDtypeStruct((3, P), jnp.float32),
+            jax.ShapeDtypeStruct((40, Ip), jnp.float32),
+            jax.ShapeDtypeStruct((24, Cp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(J, res, img_idx, cam_idx, lam)
+
+
+def schur_prepare(buckets, J_l, res_l, lam, I, C, interpret=None):
+    """Fused LM preparation over all buckets.
+
+    Returns (Vinv_l, g_pt_l, rhs_pose [I, 6], rhs_intr [C, MP],
+    U_diag_pose [I, 6], U_diag_intr [C, MP], S_blocks [I, 21]) — the exact
+    quantities the XLA V/gradient/rhs/precond stages produce (free-mask
+    application stays with the caller).
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    Ip = _round_up(I, _LANES)
+    Cp = _round_up(C, _LANES)
+    lam2 = jnp.reshape(jnp.asarray(lam, jnp.float32), (1, 1))
+    Vinv_l, g_pt_l = [], []
+    acc_i = jnp.zeros((40, Ip))
+    acc_c = jnp.zeros((24, Cp))
+    for b, J, res in zip(buckets, J_l, res_l):
+        vinv, gpt, oi, oc = schur_prepare_bucket(
+            J, res, b.img_idx, b.cam_idx, lam2, Ip, Cp, interpret=interpret
+        )
+        Vinv_l.append(vinv)
+        g_pt_l.append(gpt)
+        acc_i = acc_i + oi
+        acc_c = acc_c + oc
+    MP = MAX_PARAMS
+    rhs_pose = acc_i[:6, :I].T
+    U_diag_pose = acc_i[6:12, :I].T
+    S_blocks = acc_i[12:33, :I].T
+    rhs_intr = acc_c[:MP, :C].T
+    U_diag_intr = acc_c[MP:2 * MP, :C].T
+    return (
+        Vinv_l, g_pt_l, rhs_pose, rhs_intr, U_diag_pose, U_diag_intr,
+        S_blocks,
+    )
+
+
+def schur_matvec(buckets, J_l, Vinv_l, x_pose, x_intr, I, C,
+                 interpret=None):
+    """Implicit S x over all buckets via cg_matvec_bucket (no damping/free
+    masking — the caller owns those, matching the XLA matvec's contract).
+
+    x_pose [I, 6]; x_intr [C, MAX_PARAMS]. Returns (out_pose [I, 6],
+    out_intr [C, MAX_PARAMS]).
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    Ip = _round_up(I, _LANES)
+    Cp = _round_up(C, _LANES)
+    xp_t = jnp.zeros((8, Ip), jnp.float32).at[:6, :I].set(x_pose.T)
+    mp8 = _round_up(MAX_PARAMS, 8)
+    xi_t = jnp.zeros((mp8, Cp), jnp.float32).at[:MAX_PARAMS, :C].set(
+        x_intr.T
+    )
+    out_pose = jnp.zeros((I, 6))
+    out_intr = jnp.zeros((C, MAX_PARAMS))
+    for b, J, Vinv in zip(buckets, J_l, Vinv_l):
+        op_t, oi_t = cg_matvec_bucket(
+            J, b.img_idx, b.cam_idx, Vinv, xp_t, xi_t, interpret=interpret
+        )
+        out_pose = out_pose + op_t[:6, :I].T
+        out_intr = out_intr + oi_t[:MAX_PARAMS, :C].T
+    return out_pose, out_intr

@@ -704,6 +704,11 @@ def _lm_solve_bucketed(
     I, C = num_images, num_cameras
     use_onehot = I <= _ONEHOT_MAX_SEGMENTS
     use_pallas_mv = _ck.matvec_enabled()
+    # Pallas lane-gather for per-obs parameters (res+jac, back-substitution,
+    # total_cost): same gate as the matvec kernel. Replaces the one-hot
+    # MXU gathers, whose [I, T*P] one-hots cost ~537 MB of HBM read per
+    # _gather_mm call at C3 bench scale (see cg_kernel.gather_params_bucket).
+    use_pallas_gather = use_pallas_mv
     # with the fused Pallas CG kernels the implicit path beats the dense
     # build well before D = 2048 (measured 24.3 vs 10.7 LM iters/s at
     # C3 scale, D = 780); keep dense only for small local-BA windows
@@ -719,10 +724,13 @@ def _lm_solve_bucketed(
 
     # Transposed one-hots serve both the matmul-gathers (full f32 value
     # precision) and the matmul-scatters; loop-invariant, computed once.
+    # On the Pallas fast path the kernels gather/scatter in-register, so the
+    # one-hots are only needed by the dense-Schur solve.
+    need_onehot = use_onehot and (not use_pallas_mv or use_dense)
     onehots_img = []
     onehots_cam = []
     for b in buckets:
-        if use_onehot:
+        if need_onehot:
             onehots_img.append(_make_onehot_t(b.img_idx, I))
             onehots_cam.append(_make_onehot_t(b.cam_idx, C))
         else:
@@ -731,10 +739,20 @@ def _lm_solve_bucketed(
 
     npts = [b.points.shape[1] for b in buckets]
 
+    def _obs_params(b, quat, trans, intr, oi, oc):
+        if use_pallas_gather:
+            return _ck.gather_obs_params(b, quat, trans, intr)
+        return _gather_obs_params(b, quat, trans, intr, oi, oc)
+
     # per-bucket per-obs intr-free masks (loop-invariant)
     intr_free_obs_l = []
     for b, onehot_c in zip(buckets, onehots_cam):
-        if onehot_c is not None:
+        if use_pallas_gather:
+            zq = jnp.zeros((I, 4), jnp.float32)
+            zt = jnp.zeros((I, 3), jnp.float32)
+            _, _, ifo = _ck.gather_obs_params(b, zq, zt, intr_free)
+            intr_free_obs_l.append(ifo)
+        elif onehot_c is not None:
             intr_free_obs_l.append(
                 tuple(_gather_mm(intr_free, onehot_c, b.mask.shape))
             )
@@ -746,7 +764,7 @@ def _lm_solve_bucketed(
         for b, pts, oi, oc in zip(buckets, pts_list, onehots_img, onehots_cam):
             b2 = b._replace(points=pts)
             T, P = b2.mask.shape
-            q_obs, t_obs, k_obs = _gather_obs_params(b2, quat, trans, intr, oi, oc)
+            q_obs, t_obs, k_obs = _obs_params(b2, quat, trans, intr, oi, oc)
             rx, ry = _bucket_residual(
                 model_id, b2, q_obs, t_obs, k_obs,
                 jnp.zeros((6, T, P)), jnp.zeros((MAX_PARAMS, T, P)),
@@ -767,7 +785,9 @@ def _lm_solve_bucketed(
         for b, J, Vinv, g_pt, pts, oi, oc in zip(
             buckets, J_l, Vinv_l, g_pt_l, pts_list, onehots_img, onehots_cam
         ):
-            if oi is not None:
+            if use_pallas_gather:
+                xp, xi = _ck.gather_x(b, x_pose, x_intr)
+            elif oi is not None:
                 xp = _gather_mm(x_pose, oi, b.mask.shape)
                 xi = _gather_mm(x_intr, oc, b.mask.shape)
             else:
@@ -926,7 +946,7 @@ def _lm_solve_bucketed(
             buckets, pts_list, onehots_img, onehots_cam, intr_free_obs_l
         ):
             b2 = b._replace(points=pts)
-            q_obs, t_obs, k_obs = _gather_obs_params(b2, quat, trans, intr, oi, oc)
+            q_obs, t_obs, k_obs = _obs_params(b2, quat, trans, intr, oi, oc)
             res, J = _bucket_res_and_jac(
                 model_id, b2, q_obs, t_obs, k_obs, ifo
             )

@@ -208,6 +208,118 @@ def cg_matvec_bucket(J, img_idx, cam_idx, Vinv, xpose_t, xintr_t,
     )(J, img_idx, cam_idx, Vinv, xpose_t, xintr_t)
 
 
+def _make_gather_kernel(Ri, Rc, T, n_ichunks, n_cchunks):
+    def kernel(itab_ref, ctab_ref, ii_ref, ci_ref, outi_ref, outc_ref):
+        ii = ii_ref[:]
+        ci = ci_ref[:]
+        for r in range(Ri):
+            outi_ref[r] = _chunk_gather(itab_ref, r, ii, T, n_ichunks)
+        for r in range(Rc):
+            outc_ref[r] = _chunk_gather(ctab_ref, r, ci, T, n_cchunks)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_params_bucket(img_tab_t, cam_tab_t, img_idx, cam_idx,
+                         interpret=False):
+    """Per-observation parameter gather: one bucket, both index spaces.
+
+    img_tab_t [Ri, Ip] f32 (Ip 128-multiple, image axis in LANES);
+    cam_tab_t [Rc, Cp]; img_idx/cam_idx [T, P] int32. Returns
+    (out_i [Ri, T, P], out_c [Rc, T, P]) with out_i[r] = img_tab_t[r,
+    img_idx] etc.
+
+    Why a kernel: the XLA fast-path gathers camera parameters through
+    precomputed one-hot matmuls (``ba_kernels._gather_mm``) whose [I, T*P]
+    one-hot is 537 MB of f32 at C3 bench scale, streamed from HBM once PER
+    CALL — the residual+Jacobian, back-substitution, and total-cost stages
+    each pay multiple such streams per LM iteration. This kernel keeps the
+    tables VMEM-resident (images in lanes) and lane-gathers them per
+    [T, 128] tile via tpu.dynamic_gather — traffic drops from ~512 B/obs
+    per gathered component-set to the 4 B/obs index read + output write.
+    """
+    Ri = img_tab_t.shape[0]
+    Rc = cam_tab_t.shape[0]
+    T, P = img_idx.shape
+    n_pt = P // _LANES
+    kernel = _make_gather_kernel(
+        Ri, Rc, T, img_tab_t.shape[1] // _LANES, cam_tab_t.shape[1] // _LANES
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_pt,),
+        in_specs=[
+            pl.BlockSpec(img_tab_t.shape, lambda p: (0, 0)),
+            pl.BlockSpec(cam_tab_t.shape, lambda p: (0, 0)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+        ],
+        out_specs=[
+            pl.BlockSpec((Ri, T, _LANES), lambda p: (0, 0, p)),
+            pl.BlockSpec((Rc, T, _LANES), lambda p: (0, 0, p)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Ri, T, P), jnp.float32),
+            jax.ShapeDtypeStruct((Rc, T, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(img_tab_t, cam_tab_t, img_idx, cam_idx)
+
+
+def _table_t(arr, n, width):
+    """[N, k] f32 -> transposed padded [width, n] table (image axis lanes)."""
+    k = arr.shape[1]
+    return jnp.zeros((width, n), jnp.float32).at[:k, : arr.shape[0]].set(
+        arr.T
+    )
+
+
+def gather_obs_params(bucket, quat, trans, intr, interpret=None):
+    """Pallas twin of ``ba_kernels._gather_obs_params`` (one-hot-free).
+
+    quat [I, 4], trans [I, 3], intr [C, MAX_PARAMS]. Returns (q_obs 4-tuple,
+    t_obs 3-tuple, k_obs MAX_PARAMS-tuple) of [T, P] arrays.
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    I = quat.shape[0]
+    C = intr.shape[0]
+    Ip = _round_up(I, _LANES)
+    Cp = _round_up(C, _LANES)
+    itab = jnp.zeros((8, Ip), jnp.float32)
+    itab = itab.at[:4, :I].set(quat.T).at[4:7, :I].set(trans.T)
+    ctab = _table_t(intr, Cp, _round_up(MAX_PARAMS, 8))
+    oi, oc = gather_params_bucket(
+        itab, ctab, bucket.img_idx, bucket.cam_idx, interpret=interpret
+    )
+    q_obs = tuple(oi[r] for r in range(4))
+    t_obs = tuple(oi[4 + r] for r in range(3))
+    k_obs = tuple(oc[r] for r in range(MAX_PARAMS))
+    return q_obs, t_obs, k_obs
+
+
+def gather_x(bucket, x_pose, x_intr, interpret=None):
+    """Gather CG solution vectors per observation (back-substitution stage).
+
+    x_pose [I, 6], x_intr [C, MAX_PARAMS] -> (xp [6, T, P],
+    xi [MAX_PARAMS, T, P])."""
+    if interpret is None:
+        interpret = interpret_default()
+    I = x_pose.shape[0]
+    C = x_intr.shape[0]
+    itab = _table_t(x_pose, _round_up(I, _LANES), 8)
+    ctab = _table_t(x_intr, _round_up(C, _LANES), _round_up(MAX_PARAMS, 8))
+    oi, oc = gather_params_bucket(
+        itab, ctab, bucket.img_idx, bucket.cam_idx, interpret=interpret
+    )
+    return oi[:6], oc[:MAX_PARAMS]
+
+
 def _make_prepare_kernel(T, n_pt, n_ichunks, n_cchunks):
     """Fused per-bucket LM-step preparation (one pass over J):
 

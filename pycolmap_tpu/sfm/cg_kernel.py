@@ -105,7 +105,7 @@ def _tile_scatter(acc, vals, idx, T, n_chunks):
             acc[0:R, sl] = acc[0:R, sl] + contrib
 
 
-def _make_kernel(T, n_pt, n_ichunks, n_cchunks):
+def _make_kernel(T, n_pt, n_ichunks, n_cchunks, NP):
     def kernel(J_ref, ii_ref, ci_ref, vinv_ref, xp_ref, xi_ref,
                outp_ref, outi_ref, accp, acci):
         pt = pl.program_id(0)
@@ -115,18 +115,18 @@ def _make_kernel(T, n_pt, n_ichunks, n_cchunks):
             accp[:] = jnp.zeros_like(accp)
             acci[:] = jnp.zeros_like(acci)
 
-        J = J_ref[:]  # [2, 21, T, 128]
+        J = J_ref[:]  # [2, 9+NP, T, 128]
         ii = ii_ref[:]  # [T, 128] int32
         ci = ci_ref[:]
 
-        # per-observation camera-side x: 6 pose + MAX_PARAMS intr components
+        # per-observation camera-side x: 6 pose + NP intr components
         xc = [
             _chunk_gather(xp_ref, k, ii, T, n_ichunks) for k in range(6)
         ] + [
             _chunk_gather(xi_ref, k, ci, T, n_cchunks)
-            for k in range(MAX_PARAMS)
+            for k in range(NP)
         ]
-        nk = 6 + MAX_PARAMS
+        nk = 6 + NP
         a0 = sum(J[0, k] * xc[k] for k in range(nk))  # [T, 128]
         a1 = sum(J[1, k] * xc[k] for k in range(nk))
 
@@ -165,23 +165,24 @@ def cg_matvec_bucket(J, img_idx, cam_idx, Vinv, xpose_t, xintr_t,
                      interpret=False):
     """One bucket's contribution to the implicit Schur matvec.
 
-    J [2, 21, T, P] f32 (padding slots all-zero); img_idx/cam_idx [T, P]
-    int32; Vinv [6, P] packed symmetric (lambda-damped) point-block
-    inverses; xpose_t [8, Ip] f32 (rows 0-5 = x_pose^T, Ip mult of 128);
-    xintr_t [MAX_PARAMS(+pad), Cp] f32. Returns (outp_t [8, Ip],
-    outi_t like xintr_t): J_c^T (I - J_p V^-1 J_p^T) J_c x accumulated per
-    camera, transposed layouts.
+    J [2, 9+NP, T, P] f32 (padding slots all-zero; NP = model param count);
+    img_idx/cam_idx [T, P] int32; Vinv [6, P] packed symmetric
+    (lambda-damped) point-block inverses; xpose_t [8, Ip] f32 (rows 0-5 =
+    x_pose^T, Ip mult of 128); xintr_t [NP(+pad to 8), Cp] f32. Returns
+    (outp_t [8, Ip], outi_t like xintr_t): J_c^T (I - J_p V^-1 J_p^T) J_c x
+    accumulated per camera, transposed layouts.
     """
-    _, _, T, P = J.shape
+    _, nj, T, P = J.shape
+    NP = nj - 9
     n_pt = P // _LANES
     n_ichunks = xpose_t.shape[1] // _LANES
     n_cchunks = xintr_t.shape[1] // _LANES
-    kernel = _make_kernel(T, n_pt, n_ichunks, n_cchunks)
+    kernel = _make_kernel(T, n_pt, n_ichunks, n_cchunks, NP)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pt,),
         in_specs=[
-            pl.BlockSpec((2, 21, T, _LANES), lambda p: (0, 0, 0, p)),
+            pl.BlockSpec((2, nj, T, _LANES), lambda p: (0, 0, 0, p)),
             pl.BlockSpec((T, _LANES), lambda p: (0, p)),
             pl.BlockSpec((T, _LANES), lambda p: (0, p)),
             pl.BlockSpec((6, _LANES), lambda p: (0, p)),
@@ -282,45 +283,451 @@ def _table_t(arr, n, width):
 def gather_obs_params(bucket, quat, trans, intr, interpret=None):
     """Pallas twin of ``ba_kernels._gather_obs_params`` (one-hot-free).
 
-    quat [I, 4], trans [I, 3], intr [C, MAX_PARAMS]. Returns (q_obs 4-tuple,
-    t_obs 3-tuple, k_obs MAX_PARAMS-tuple) of [T, P] arrays.
+    quat [I, 4], trans [I, 3], intr [C, NP]. Returns (q_obs 4-tuple,
+    t_obs 3-tuple, k_obs NP-tuple) of [T, P] arrays.
     """
     if interpret is None:
         interpret = interpret_default()
+    NP = intr.shape[1]
     I = quat.shape[0]
     C = intr.shape[0]
     Ip = _round_up(I, _LANES)
     Cp = _round_up(C, _LANES)
     itab = jnp.zeros((8, Ip), jnp.float32)
     itab = itab.at[:4, :I].set(quat.T).at[4:7, :I].set(trans.T)
-    ctab = _table_t(intr, Cp, _round_up(MAX_PARAMS, 8))
+    ctab = _table_t(intr, Cp, _round_up(NP, 8))
     oi, oc = gather_params_bucket(
         itab, ctab, bucket.img_idx, bucket.cam_idx, interpret=interpret
     )
     q_obs = tuple(oi[r] for r in range(4))
     t_obs = tuple(oi[4 + r] for r in range(3))
-    k_obs = tuple(oc[r] for r in range(MAX_PARAMS))
+    k_obs = tuple(oc[r] for r in range(NP))
     return q_obs, t_obs, k_obs
 
 
 def gather_x(bucket, x_pose, x_intr, interpret=None):
     """Gather CG solution vectors per observation (back-substitution stage).
 
-    x_pose [I, 6], x_intr [C, MAX_PARAMS] -> (xp [6, T, P],
-    xi [MAX_PARAMS, T, P])."""
+    x_pose [I, 6], x_intr [C, NP] -> (xp [6, T, P], xi [NP, T, P])."""
     if interpret is None:
         interpret = interpret_default()
+    NP = x_intr.shape[1]
     I = x_pose.shape[0]
     C = x_intr.shape[0]
     itab = _table_t(x_pose, _round_up(I, _LANES), 8)
-    ctab = _table_t(x_intr, _round_up(C, _LANES), _round_up(MAX_PARAMS, 8))
+    ctab = _table_t(x_intr, _round_up(C, _LANES), _round_up(NP, 8))
     oi, oc = gather_params_bucket(
         itab, ctab, bucket.img_idx, bucket.cam_idx, interpret=interpret
     )
-    return oi[:6], oc[:MAX_PARAMS]
+    return oi[:6], oc[:NP]
 
 
-def _make_prepare_kernel(T, n_pt, n_ichunks, n_cchunks):
+# ---------------------------------------------------------------------------
+# fused residual + Jacobian / cost / back-substitution kernels
+# ---------------------------------------------------------------------------
+
+
+def _gather_pose_intr(itab_ref, ctab_ref, ii, ci, T, n_ichunks, n_cchunks,
+                      NP):
+    """In-kernel per-observation parameter gather: q(4) t(3) from the image
+    table, intr(NP) from the camera table."""
+    q_obs = tuple(_chunk_gather(itab_ref, r, ii, T, n_ichunks) for r in range(4))
+    t_obs = tuple(
+        _chunk_gather(itab_ref, 4 + r, ii, T, n_ichunks) for r in range(3)
+    )
+    k_obs = tuple(
+        _chunk_gather(ctab_ref, r, ci, T, n_cchunks) for r in range(NP)
+    )
+    return q_obs, t_obs, k_obs
+
+
+def _make_resjac_kernel(model_id, loss_type, T, n_ichunks, n_cchunks, NP):
+    """Fused res+jac: per-obs parameter lane-gathers, the analytic Jacobian
+    chain of ba_kernels._bucket_res_and_jac, and IRLS robust weighting — J is
+    written once, straight from registers (the XLA formulation materializes
+    dozens of [T, P] intermediates between HBM round-trips)."""
+
+    def kernel(itab_ref, ctab_ref, ii_ref, ci_ref, xy_ref, mask_ref,
+               ptsf_ref, scale_ref, res_ref, J_ref):
+        from pycolmap_tpu.sfm import ba_kernels as bk
+        from pycolmap_tpu.sfm.bundle_adjustment import _robust_weight
+
+        ii = ii_ref[:]
+        ci = ci_ref[:]
+        q_obs, t_obs, k_obs = _gather_pose_intr(
+            itab_ref, ctab_ref, ii, ci, T, n_ichunks, n_cchunks, NP
+        )
+        ifo = tuple(
+            _chunk_gather(ctab_ref, NP + r, ci, T, n_cchunks)
+            for r in range(NP)
+        )
+        ptsf = ptsf_ref[:]  # [4, 128]: xyz + point_free
+        bucket = bk.Bucket(
+            img_idx=ii, cam_idx=ci, xy=xy_ref[:], mask=mask_ref[:],
+            points=ptsf[0:3], point_free=ptsf[3], point_rows=ii,
+        )
+        res, J = bk._bucket_res_and_jac(
+            model_id, bucket, q_obs, t_obs, k_obs, ifo
+        )
+        sq = res[0] * res[0] + res[1] * res[1]
+        w = _robust_weight(sq, loss_type, scale_ref[0, 0]) * bucket.mask
+        sw = jnp.sqrt(w)
+        res_ref[:] = res * sw[None]
+        J_ref[:] = J * sw[None, None]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_id", "loss_type", "interpret")
+)
+def resjac_bucket(itab, ctab, img_idx, cam_idx, xy, mask, ptsf, scale,
+                  model_id, loss_type, interpret=False):
+    """One bucket's robust-weighted residual [2, T, P] + Jacobian
+    [2, 9+NP, T, P]. itab [8, Ip] rows 0-3 quat^T | 4-6 trans^T;
+    ctab [pad8(2*NP), Cp] rows 0..NP-1 intr^T | NP..2NP-1 intr_free^T;
+    ptsf [4, P] rows xyz | point_free; scale [1, 1] SMEM robust-loss
+    scale."""
+    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+
+    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    T, P = img_idx.shape
+    n_pt = P // _LANES
+    kernel = _make_resjac_kernel(
+        model_id, loss_type, T, itab.shape[1] // _LANES,
+        ctab.shape[1] // _LANES, NP,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_pt,),
+        in_specs=[
+            pl.BlockSpec(itab.shape, lambda p: (0, 0)),
+            pl.BlockSpec(ctab.shape, lambda p: (0, 0)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((2, T, _LANES), lambda p: (0, 0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((4, _LANES), lambda p: (0, p)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, T, _LANES), lambda p: (0, 0, p)),
+            pl.BlockSpec((2, 9 + NP, T, _LANES), lambda p: (0, 0, 0, p)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, T, P), jnp.float32),
+            jax.ShapeDtypeStruct((2, 9 + NP, T, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(itab, ctab, img_idx, cam_idx, xy, mask, ptsf, scale)
+
+
+def _make_cost_kernel(model_id, loss_type, T, n_pt, n_ichunks, n_cchunks,
+                      NP):
+    def kernel(itab_ref, ctab_ref, ii_ref, ci_ref, xy_ref, mask_ref,
+               ptsf_ref, scale_ref, cost_ref, acc):
+        from pycolmap_tpu.sfm import ba_kernels as bk
+        from pycolmap_tpu.sfm.bundle_adjustment import _robust_cost
+
+        pt = pl.program_id(0)
+
+        @pl.when(pt == 0)
+        def _init():
+            acc[:] = jnp.zeros_like(acc)
+
+        ii = ii_ref[:]
+        ci = ci_ref[:]
+        q_obs, t_obs, k_obs = _gather_pose_intr(
+            itab_ref, ctab_ref, ii, ci, T, n_ichunks, n_cchunks, NP
+        )
+        ptsf = ptsf_ref[:]
+        mask = mask_ref[:]
+        X = (ptsf[0][None], ptsf[1][None], ptsf[2][None])
+        rx, ry = bk._residual_vals(
+            model_id, xy_ref[:], mask, q_obs, t_obs, k_obs, X
+        )
+        sq = rx * rx + ry * ry
+        c = _robust_cost(sq, loss_type, scale_ref[0, 0]) * mask
+        acc[0:1, :] = acc[0:1, :] + jnp.sum(c, axis=0, keepdims=True)
+
+        @pl.when(pt == n_pt - 1)
+        def _flush():
+            cost_ref[:] = acc[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_id", "loss_type", "interpret")
+)
+def cost_bucket(itab, ctab, img_idx, cam_idx, xy, mask, ptsf, scale,
+                model_id, loss_type, interpret=False):
+    """One bucket's robust cost, lane-partial: returns [8, 128] whose row 0
+    holds per-lane partial sums (caller sums). Table layouts as resjac_bucket
+    (ctab intr_free rows are ignored here)."""
+    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+
+    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    T, P = img_idx.shape
+    n_pt = P // _LANES
+    kernel = _make_cost_kernel(
+        model_id, loss_type, T, n_pt, itab.shape[1] // _LANES,
+        ctab.shape[1] // _LANES, NP,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_pt,),
+        in_specs=[
+            pl.BlockSpec(itab.shape, lambda p: (0, 0)),
+            pl.BlockSpec(ctab.shape, lambda p: (0, 0)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((2, T, _LANES), lambda p: (0, 0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((4, _LANES), lambda p: (0, p)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((8, _LANES), lambda p: (0, 0))],
+        scratch_shapes=[pltpu.VMEM((8, _LANES), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(itab, ctab, img_idx, cam_idx, xy, mask, ptsf, scale)[0]
+
+
+def _make_finish_kernel(model_id, loss_type, T, n_pt, n_ichunks, n_cchunks,
+                        NP):
+    """Fused LM-step tail: gather the CG solution per obs, back-substitute
+    the point update, and evaluate the robust cost at the UPDATED parameters
+    (new camera tables + just-computed points) without a round-trip of the
+    new points through HBM-and-back."""
+    nk = 6 + NP
+
+    def kernel(J_ref, vinv_ref, gpt_ref, ii_ref, ci_ref, xy_ref, mask_ref,
+               ptsf_ref, xtab_i_ref, xtab_c_ref, ntab_i_ref, ntab_c_ref,
+               scale_ref, npts_ref, cost_ref, acc):
+        from pycolmap_tpu.sfm import ba_kernels as bk
+        from pycolmap_tpu.sfm.bundle_adjustment import _robust_cost
+
+        pt = pl.program_id(0)
+
+        @pl.when(pt == 0)
+        def _init():
+            acc[:] = jnp.zeros_like(acc)
+
+        ii = ii_ref[:]
+        ci = ci_ref[:]
+        J = J_ref[:]  # [2, 9+NP, T, 128]
+
+        # --- back-substitution -------------------------------------------
+        xc = [
+            _chunk_gather(xtab_i_ref, k, ii, T, n_ichunks) for k in range(6)
+        ] + [
+            _chunk_gather(xtab_c_ref, k, ci, T, n_cchunks)
+            for k in range(NP)
+        ]
+        a0 = sum(J[0, k] * xc[k] for k in range(nk))
+        a1 = sum(J[1, k] * xc[k] for k in range(nk))
+        bt = [
+            jnp.sum(J[0, nk + a] * a0 + J[1, nk + a] * a1, axis=0)
+            for a in range(3)
+        ]
+        va, vb, vc, vd, ve, vf = (vinv_ref[i] for i in range(6))
+        g = [gpt_ref[i] for i in range(3)]
+        r0 = g[0] - bt[0]
+        r1 = g[1] - bt[1]
+        r2 = g[2] - bt[2]
+        dp = (
+            va * r0 + vb * r1 + vc * r2,
+            vb * r0 + vd * r1 + ve * r2,
+            vc * r0 + ve * r1 + vf * r2,
+        )
+        ptsf = ptsf_ref[:]
+        pfree = ptsf[3]
+        newpt = [ptsf[a] - dp[a] * pfree for a in range(3)]
+        npts_ref[:] = jnp.stack(newpt)
+
+        # --- robust cost at the updated parameters ------------------------
+        q_obs, t_obs, k_obs = _gather_pose_intr(
+            ntab_i_ref, ntab_c_ref, ii, ci, T, n_ichunks, n_cchunks, NP
+        )
+        mask = mask_ref[:]
+        X = (newpt[0][None], newpt[1][None], newpt[2][None])
+        rx, ry = bk._residual_vals(
+            model_id, xy_ref[:], mask, q_obs, t_obs, k_obs, X
+        )
+        sq = rx * rx + ry * ry
+        c = _robust_cost(sq, loss_type, scale_ref[0, 0]) * mask
+        acc[0:1, :] = acc[0:1, :] + jnp.sum(c, axis=0, keepdims=True)
+
+        @pl.when(pt == n_pt - 1)
+        def _flush():
+            cost_ref[:] = acc[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_id", "loss_type", "interpret")
+)
+def finish_bucket(J, Vinv, g_pt, img_idx, cam_idx, xy, mask, ptsf,
+                  xtab_i, xtab_c, ntab_i, ntab_c, scale,
+                  model_id, loss_type, interpret=False):
+    """One bucket's fused back-substitution + new-cost evaluation.
+
+    Returns (new_pts [3, P], cost_partial [8, 128] with row 0 = per-lane
+    partial sums of the robust cost at the updated parameters).
+    xtab_i [8, Ip] rows 0-5 = x_pose^T; xtab_c [pad8(NP), Cp] rows =
+    x_intr^T; ntab_i/ntab_c: updated parameter tables (layout as
+    resjac_bucket)."""
+    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+
+    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    nj = J.shape[1]
+    assert nj == 9 + NP
+    T, P = img_idx.shape
+    n_pt = P // _LANES
+    kernel = _make_finish_kernel(
+        model_id, loss_type, T, n_pt, xtab_i.shape[1] // _LANES,
+        xtab_c.shape[1] // _LANES, NP,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_pt,),
+        in_specs=[
+            pl.BlockSpec((2, nj, T, _LANES), lambda p: (0, 0, 0, p)),
+            pl.BlockSpec((6, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((3, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((2, T, _LANES), lambda p: (0, 0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((4, _LANES), lambda p: (0, p)),
+            pl.BlockSpec(xtab_i.shape, lambda p: (0, 0)),
+            pl.BlockSpec(xtab_c.shape, lambda p: (0, 0)),
+            pl.BlockSpec(ntab_i.shape, lambda p: (0, 0)),
+            pl.BlockSpec(ntab_c.shape, lambda p: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((8, _LANES), lambda p: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, _LANES), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, P), jnp.float32),
+            jax.ShapeDtypeStruct((8, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(J, Vinv, g_pt, img_idx, cam_idx, xy, mask, ptsf,
+      xtab_i, xtab_c, ntab_i, ntab_c, scale)
+
+
+def _param_tables(quat, trans, intr, intr_free, NP):
+    """Build the [8, Ip] image table (quat | trans) and [pad8(2*NP), Cp]
+    camera table (intr rows 0..NP-1 | intr_free rows NP..2NP-1) used by the
+    resjac/cost/finish kernels. intr/intr_free wider than NP are sliced."""
+    I = quat.shape[0]
+    C = intr.shape[0]
+    Ip = _round_up(I, _LANES)
+    Cp = _round_up(C, _LANES)
+    itab = jnp.zeros((8, Ip), jnp.float32)
+    itab = itab.at[:4, :I].set(quat.T).at[4:7, :I].set(trans.T)
+    ctab = jnp.zeros((_round_up(2 * NP, 8), Cp), jnp.float32)
+    ctab = ctab.at[:NP, :C].set(intr[:, :NP].T)
+    if intr_free is not None:
+        ctab = ctab.at[NP:2 * NP, :C].set(intr_free[:, :NP].T)
+    return itab, ctab
+
+
+def res_and_jac(buckets, pts_list, quat, trans, intr, intr_free,
+                model_id, loss_type, loss_scale, interpret=None):
+    """Fused robust-weighted residual+Jacobian over all buckets.
+    Returns J_l with NP-narrow intrinsics blocks ([2, 9+NP, T, P])."""
+    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+
+    if interpret is None:
+        interpret = interpret_default()
+    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    itab, ctab = _param_tables(quat, trans, intr, intr_free, NP)
+    scale = jnp.reshape(jnp.asarray(loss_scale, jnp.float32), (1, 1))
+    res_l, J_l = [], []
+    for b, pts in zip(buckets, pts_list):
+        ptsf = jnp.concatenate([pts, b.point_free[None]], axis=0)
+        res, J = resjac_bucket(
+            itab, ctab, b.img_idx, b.cam_idx, b.xy, b.mask, ptsf, scale,
+            model_id, loss_type, interpret=interpret,
+        )
+        res_l.append(res)
+        J_l.append(J)
+    return res_l, J_l
+
+
+def total_cost(buckets, pts_list, quat, trans, intr, model_id, loss_type,
+               loss_scale, interpret=None):
+    """Fused robust total cost over all buckets (scalar)."""
+    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+
+    if interpret is None:
+        interpret = interpret_default()
+    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    itab, ctab = _param_tables(quat, trans, intr, None, NP)
+    scale = jnp.reshape(jnp.asarray(loss_scale, jnp.float32), (1, 1))
+    cost = jnp.float32(0.0)
+    for b, pts in zip(buckets, pts_list):
+        ptsf = jnp.concatenate([pts, b.point_free[None]], axis=0)
+        part = cost_bucket(
+            itab, ctab, b.img_idx, b.cam_idx, b.xy, b.mask, ptsf, scale,
+            model_id, loss_type, interpret=interpret,
+        )
+        cost = cost + jnp.sum(part[0])
+    return cost
+
+
+def backsub_and_cost(buckets, pts_list, J_l, Vinv_l, g_pt_l, x_pose, x_intr,
+                     new_quat, new_trans, new_intr, model_id, loss_type,
+                     loss_scale, interpret=None):
+    """Fused LM tail over all buckets: point back-substitution + robust cost
+    at the updated parameters. x_intr is [C, NP]. Returns
+    (new_pts_list, new_cost)."""
+    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+
+    if interpret is None:
+        interpret = interpret_default()
+    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    I = x_pose.shape[0]
+    C = x_intr.shape[0]
+    xtab_i = _table_t(x_pose, _round_up(I, _LANES), 8)
+    xtab_c = _table_t(x_intr[:, :NP], _round_up(C, _LANES),
+                      _round_up(NP, 8))
+    ntab_i, ntab_c = _param_tables(new_quat, new_trans, new_intr, None, NP)
+    scale = jnp.reshape(jnp.asarray(loss_scale, jnp.float32), (1, 1))
+    new_pts_list = []
+    cost = jnp.float32(0.0)
+    for b, pts, J, Vinv, g_pt in zip(buckets, pts_list, J_l, Vinv_l, g_pt_l):
+        ptsf = jnp.concatenate([pts, b.point_free[None]], axis=0)
+        npts, part = finish_bucket(
+            J, Vinv, g_pt, b.img_idx, b.cam_idx, b.xy, b.mask, ptsf,
+            xtab_i, xtab_c, ntab_i, ntab_c, scale,
+            model_id, loss_type, interpret=interpret,
+        )
+        new_pts_list.append(npts)
+        cost = cost + jnp.sum(part[0])
+    return new_pts_list, cost
+
+
+def _make_prepare_kernel(T, n_pt, n_ichunks, n_cchunks, NP):
     """Fused per-bucket LM-step preparation (one pass over J):
 
       V       = lam-damped point blocks J_p^T J_p  -> packed 3x3 inverses
@@ -334,7 +741,7 @@ def _make_prepare_kernel(T, n_pt, n_ichunks, n_cchunks):
     precond build 18.2 ms at C3 scale — dominated by 537 MB one-hot
     scatter streams and materialized [*, T, P] intermediates).
     """
-    MP = MAX_PARAMS
+    MP = NP
     nk = 6 + MP
     tri = [(i, j) for i in range(6) for j in range(i, 6)]
 
@@ -347,7 +754,7 @@ def _make_prepare_kernel(T, n_pt, n_ichunks, n_cchunks):
             acci[:] = jnp.zeros_like(acci)
             accc[:] = jnp.zeros_like(accc)
 
-        J = J_ref[:]  # [2, 21, T, 128]
+        J = J_ref[:]  # [2, 9+NP, T, 128]
         res = res_ref[:]  # [2, T, 128]
         ii = ii_ref[:]
         ci = ci_ref[:]
@@ -441,18 +848,20 @@ def schur_prepare_bucket(J, res, img_idx, cam_idx, lam, Ip, Cp,
                          interpret=False):
     """One bucket's fused LM preparation. Returns (Vinv [6, P], g_pt [3, P],
     cam_img_t [40, Ip] rows = 6 rhs_pose | 6 U_diag_pose | 21 S_blocks(tri),
-    cam_cam_t [24, Cp] rows = MAX_PARAMS rhs_intr | MAX_PARAMS U_diag_intr).
+    cam_cam_t [pad8(2*NP), Cp] rows = NP rhs_intr | NP U_diag_intr).
     lam: f32 scalar (as [1, 1]). Ip/Cp: 128-multiples (static)."""
-    _, _, T, P = J.shape
+    _, nj, T, P = J.shape
+    NP = nj - 9
+    nc_rows = _round_up(2 * NP, 8)
     n_pt = P // _LANES
     kernel = _make_prepare_kernel(
-        T, n_pt, Ip // _LANES, Cp // _LANES
+        T, n_pt, Ip // _LANES, Cp // _LANES, NP
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pt,),
         in_specs=[
-            pl.BlockSpec((2, 21, T, _LANES), lambda p: (0, 0, 0, p)),
+            pl.BlockSpec((2, nj, T, _LANES), lambda p: (0, 0, 0, p)),
             pl.BlockSpec((2, T, _LANES), lambda p: (0, 0, p)),
             pl.BlockSpec((T, _LANES), lambda p: (0, p)),
             pl.BlockSpec((T, _LANES), lambda p: (0, p)),
@@ -462,11 +871,11 @@ def schur_prepare_bucket(J, res, img_idx, cam_idx, lam, Ip, Cp,
             pl.BlockSpec((6, _LANES), lambda p: (0, p)),
             pl.BlockSpec((3, _LANES), lambda p: (0, p)),
             pl.BlockSpec((40, Ip), lambda p: (0, 0)),
-            pl.BlockSpec((24, Cp), lambda p: (0, 0)),
+            pl.BlockSpec((nc_rows, Cp), lambda p: (0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((40, Ip), jnp.float32),
-            pltpu.VMEM((24, Cp), jnp.float32),
+            pltpu.VMEM((nc_rows, Cp), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -476,7 +885,7 @@ def schur_prepare_bucket(J, res, img_idx, cam_idx, lam, Ip, Cp,
             jax.ShapeDtypeStruct((6, P), jnp.float32),
             jax.ShapeDtypeStruct((3, P), jnp.float32),
             jax.ShapeDtypeStruct((40, Ip), jnp.float32),
-            jax.ShapeDtypeStruct((24, Cp), jnp.float32),
+            jax.ShapeDtypeStruct((nc_rows, Cp), jnp.float32),
         ],
         interpret=interpret,
     )(J, res, img_idx, cam_idx, lam)
@@ -485,19 +894,21 @@ def schur_prepare_bucket(J, res, img_idx, cam_idx, lam, Ip, Cp,
 def schur_prepare(buckets, J_l, res_l, lam, I, C, interpret=None):
     """Fused LM preparation over all buckets.
 
-    Returns (Vinv_l, g_pt_l, rhs_pose [I, 6], rhs_intr [C, MP],
-    U_diag_pose [I, 6], U_diag_intr [C, MP], S_blocks [I, 21]) — the exact
+    Returns (Vinv_l, g_pt_l, rhs_pose [I, 6], rhs_intr [C, NP],
+    U_diag_pose [I, 6], U_diag_intr [C, NP], S_blocks [I, 21]) — the exact
     quantities the XLA V/gradient/rhs/precond stages produce (free-mask
-    application stays with the caller).
+    application stays with the caller). NP = J.shape[1] - 9.
     """
     if interpret is None:
         interpret = interpret_default()
+    NP = J_l[0].shape[1] - 9
+    nc_rows = _round_up(2 * NP, 8)
     Ip = _round_up(I, _LANES)
     Cp = _round_up(C, _LANES)
     lam2 = jnp.reshape(jnp.asarray(lam, jnp.float32), (1, 1))
     Vinv_l, g_pt_l = [], []
     acc_i = jnp.zeros((40, Ip))
-    acc_c = jnp.zeros((24, Cp))
+    acc_c = jnp.zeros((nc_rows, Cp))
     for b, J, res in zip(buckets, J_l, res_l):
         vinv, gpt, oi, oc = schur_prepare_bucket(
             J, res, b.img_idx, b.cam_idx, lam2, Ip, Cp, interpret=interpret
@@ -506,7 +917,7 @@ def schur_prepare(buckets, J_l, res_l, lam, I, C, interpret=None):
         g_pt_l.append(gpt)
         acc_i = acc_i + oi
         acc_c = acc_c + oc
-    MP = MAX_PARAMS
+    MP = NP
     rhs_pose = acc_i[:6, :I].T
     U_diag_pose = acc_i[6:12, :I].T
     S_blocks = acc_i[12:33, :I].T
@@ -523,24 +934,25 @@ def schur_matvec(buckets, J_l, Vinv_l, x_pose, x_intr, I, C,
     """Implicit S x over all buckets via cg_matvec_bucket (no damping/free
     masking — the caller owns those, matching the XLA matvec's contract).
 
-    x_pose [I, 6]; x_intr [C, MAX_PARAMS]. Returns (out_pose [I, 6],
-    out_intr [C, MAX_PARAMS]).
+    x_pose [I, 6]; x_intr [C, NP] (NP = J.shape[1] - 9). Returns
+    (out_pose [I, 6], out_intr [C, NP]).
     """
     if interpret is None:
         interpret = interpret_default()
+    NP = J_l[0].shape[1] - 9
     Ip = _round_up(I, _LANES)
     Cp = _round_up(C, _LANES)
     xp_t = jnp.zeros((8, Ip), jnp.float32).at[:6, :I].set(x_pose.T)
-    mp8 = _round_up(MAX_PARAMS, 8)
-    xi_t = jnp.zeros((mp8, Cp), jnp.float32).at[:MAX_PARAMS, :C].set(
+    mp8 = _round_up(NP, 8)
+    xi_t = jnp.zeros((mp8, Cp), jnp.float32).at[:NP, :C].set(
         x_intr.T
     )
     out_pose = jnp.zeros((I, 6))
-    out_intr = jnp.zeros((C, MAX_PARAMS))
+    out_intr = jnp.zeros((C, NP))
     for b, J, Vinv in zip(buckets, J_l, Vinv_l):
         op_t, oi_t = cg_matvec_bucket(
             J, b.img_idx, b.cam_idx, Vinv, xp_t, xi_t, interpret=interpret
         )
         out_pose = out_pose + op_t[:6, :I].T
-        out_intr = out_intr + oi_t[:MAX_PARAMS, :C].T
+        out_intr = out_intr + oi_t[:NP, :C].T
     return out_pose, out_intr

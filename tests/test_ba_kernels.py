@@ -1,6 +1,8 @@
 """Cross-check: bucketed component-first BA kernels vs the flat reference
 solver, plus mesh-sharded execution on the virtual device mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -163,17 +165,58 @@ class TestFastSolverMatchesReference:
         assert s.final_cost < s.initial_cost / 50
 
 
+def _run_mesh_solve_check():
+    from pycolmap_tpu.parallel.sharded_ba import make_obs_mesh
+
+    problem = make_problem(num_points=1024, seed=5)
+    opts = BundleAdjustmentOptions()
+    opts.max_num_iterations = 10
+    p1, s1 = solve_bundle_fast(problem, opts, cg_iters=10)
+    mesh = make_obs_mesh(jax.devices()[:8])
+    p8, s8 = solve_bundle_fast(problem, opts, cg_iters=10, mesh=mesh)
+    assert np.isclose(s1.final_cost, s8.final_cost, rtol=1e-3)
+    assert (
+        np.abs(np.asarray(p1.cam_trans) - np.asarray(p8.cam_trans)).max() < 1e-3
+    )
+
+
 class TestShardedFastSolver:
     def test_mesh_solve_matches_single(self):
-        from pycolmap_tpu.parallel.sharded_ba import make_obs_mesh
+        # The mesh-sharded solver is the largest XLA:CPU program in the
+        # suite; the CPU LLVM JIT segfaults on it once the worker process
+        # has accumulated many compiled executables (green standalone —
+        # see pytest.ini). Run it isolated in a fresh subprocess.
+        import os
+        import subprocess
+        import sys
 
-        problem = make_problem(num_points=1024, seed=5)
-        opts = BundleAdjustmentOptions()
-        opts.max_num_iterations = 10
-        p1, s1 = solve_bundle_fast(problem, opts, cg_iters=10)
-        mesh = make_obs_mesh(jax.devices()[:8])
-        p8, s8 = solve_bundle_fast(problem, opts, cg_iters=10, mesh=mesh)
-        assert np.isclose(s1.final_cost, s8.final_cost, rtol=1e-3)
-        assert (
-            np.abs(np.asarray(p1.cam_trans) - np.asarray(p8.cam_trans)).max() < 1e-3
+        env = dict(os.environ)
+        env["PYCOLMAP_TPU_MESH_SOLVE_WORKER"] = "1"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = os.pathsep.join(
+            [repo] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                      if p]
         )
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, (r.stdout or "") + (r.stderr or "")
+
+
+if __name__ == "__main__" and os.environ.get(
+    "PYCOLMAP_TPU_MESH_SOLVE_WORKER"
+) == "1":
+    import os as _os
+
+    _flags = _os.environ.get("XLA_FLAGS", "")
+    # replicate conftest's virtual-mesh setup (conftest does not run here)
+    for _f in ("--xla_force_host_platform_device_count=8",
+               "--xla_cpu_parallel_codegen_split_count=1"):
+        if _f.split("=")[0] not in _flags:
+            _flags = (_flags + " " + _f).strip()
+    _os.environ["XLA_FLAGS"] = _flags
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_compilation_cache", False)
+    _run_mesh_solve_check()
+    print("mesh solve check OK")

@@ -11,6 +11,9 @@ import os
 
 os.environ["PYCOLMAP_TPU_BA_PALLAS"] = "1"
 os.environ["PYCOLMAP_TPU_DENSE_SCHUR_MAX_D"] = "0"
+# force every bucket through the Pallas kernels regardless of size (the
+# hybrid router would otherwise send these tiny test buckets to XLA)
+os.environ["PYCOLMAP_TPU_BA_PALLAS_MIN_SLOTS"] = "0"
 
 
 def test_solver_with_pallas_matvec_converges():

@@ -122,16 +122,26 @@ def bucketize(problem: BundleProblem):
     ends = np.searchsorted(v_pt, np.arange(P) + 1)
     lens = ends - starts
 
+    # Emit only buckets up to the one covering the longest track: the
+    # solver's XLA program inlines every bucket (and, on the Pallas path,
+    # compiles kernels per bucket shape), so trailing always-empty buckets
+    # cost compile time and launches for nothing. The bucket COUNT is part
+    # of the jit signature, but it only steps when the max track length
+    # crosses a bucket boundary — a monotone, <=5-step ladder — while
+    # presence combinations below the max stay constant (empty buckets
+    # within the prefix are still emitted at minimal size).
+    max_len = int(lens.max()) if len(lens) else 1
+    n_buckets = next(
+        (k + 1 for k, T in enumerate(_BUCKET_TS) if max_len <= T),
+        len(_BUCKET_TS),
+    )
     buckets = []
-    for T in _BUCKET_TS:
+    for T in _BUCKET_TS[:n_buckets]:
         lo = 0 if T == _BUCKET_TS[0] else _BUCKET_TS[_BUCKET_TS.index(T) - 1]
-        if T == _BUCKET_TS[-1]:
+        if T == _BUCKET_TS[n_buckets - 1]:
             sel = np.nonzero(lens > lo)[0]  # includes over-long tracks
         else:
             sel = np.nonzero((lens > lo) & (lens <= T))[0]
-        # empty buckets still emitted at minimal size: a CONSTANT bucket
-        # structure keeps the jitted solver's shape signature to
-        # (padded sizes only), not 2^5 presence combinations
         Pb = _pad_4x(len(sel), 128)
         n_sel = len(sel)
         # vectorized fill: flat source index per (t, k) grid slot
@@ -907,10 +917,50 @@ def _lm_solve_bucketed(
             p_intr = r_intr / jnp.where(denom < 1e-8, 1.0, denom)
             return p_pose, p_intr * intr_free
 
+        # bf16-packed J for the Pallas CG matvecs: [nj, 2T, P] bf16 tiles
+        # (residual rows packed into sublanes) halve the J stream that the
+        # CG loop re-reads cg_iters times; one transpose+cast per LM step.
+        # PYCOLMAP_TPU_BA_CG_BF16=0 keeps full-f32 matvecs.
+        use_cg_bf16 = os.environ.get("PYCOLMAP_TPU_BA_CG_BF16", "1") != "0"
+        if pal and use_cg_bf16:
+            J16_pal = [_ck.pack_j_bf16(J_l[i]) for i in pal]
+            ii2_pal = [
+                jnp.concatenate([buckets[i].img_idx, buckets[i].img_idx])
+                for i in pal
+            ]
+            ci2_pal = [
+                jnp.concatenate([buckets[i].cam_idx, buckets[i].cam_idx])
+                for i in pal
+            ]
+
         def matvec(x_pose, x_intr):
             out_pose = damp_pose * x_pose
             out_intr = damp_intr * x_intr
-            if pal:
+            if pal and use_cg_bf16:
+                from pycolmap_tpu.sfm.cg_kernel import (
+                    _LANES, _round_up, cg_matvec16_bucket,
+                    interpret_default,
+                )
+
+                interp = interpret_default()
+                Ip = _round_up(I, _LANES)
+                Cp = _round_up(C, _LANES)
+                xp_t = jnp.zeros((8, Ip)).at[:6, :I].set(x_pose.T)
+                mp8 = _round_up(NP, 8)
+                xi_t = jnp.zeros((mp8, Cp)).at[:NP, :C].set(x_intr.T)
+                mp = jnp.zeros((I, 6))
+                mi = jnp.zeros((C, NP))
+                for k, i in enumerate(pal):
+                    op_t, oi_t = cg_matvec16_bucket(
+                        J16_pal[k], ii2_pal[k], ci2_pal[k],
+                        buckets[i].img_idx, buckets[i].cam_idx,
+                        Vinv_l[i], xp_t, xi_t, interpret=interp,
+                    )
+                    mp = mp + op_t[:6, :I].T
+                    mi = mi + oi_t[:NP, :C].T
+                out_pose = out_pose + mp
+                out_intr = out_intr + mi
+            elif pal:
                 # fused Pallas matvec: streams J once, no HBM one-hots
                 mp, mi = _ck.schur_matvec(
                     [buckets[i] for i in pal], [J_l[i] for i in pal],

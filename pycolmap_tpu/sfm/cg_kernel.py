@@ -209,6 +209,151 @@ def cg_matvec_bucket(J, img_idx, cam_idx, Vinv, xpose_t, xintr_t,
     )(J, img_idx, cam_idx, Vinv, xpose_t, xintr_t)
 
 
+def _make_matvec16_kernel(T, n_pt, n_ichunks, n_cchunks, NP):
+    """bf16-packed variant of the Schur matvec kernel.
+
+    J arrives as [9+NP, 2T, P] bf16 — residual-row pairs packed into the
+    SUBLANE axis so each column plane is exactly one (16, 128) bf16 tile
+    (a bf16 [T=8, 128] plane would pad to 16 sublanes and save nothing).
+    Halves the per-matvec J stream; all arithmetic upcasts to f32 in
+    registers, so only J's storage precision drops (the CG step direction
+    tolerates ~1e-3 — inexact Newton; cost accept/reject stays exact).
+    """
+    nk = 6 + NP
+
+    def kernel(J_ref, ii2_ref, ci2_ref, ii_ref, ci_ref, vinv_ref,
+               xp_ref, xi_ref, outp_ref, outi_ref, accp, acci):
+        pt = pl.program_id(0)
+
+        @pl.when(pt == 0)
+        def _init():
+            accp[:] = jnp.zeros_like(accp)
+            acci[:] = jnp.zeros_like(acci)
+
+        J = J_ref[:].astype(jnp.float32)  # [9+NP, 2T, 128]
+        ii2 = ii2_ref[:]  # [2T, 128] (img idx repeated per residual row)
+        ci2 = ci2_ref[:]
+        ii = ii_ref[:]  # [T, 128]
+        ci = ci_ref[:]
+
+        xc = [
+            _chunk_gather(xp_ref, k, ii2, 2 * T, n_ichunks) for k in range(6)
+        ] + [
+            _chunk_gather(xi_ref, k, ci2, 2 * T, n_cchunks)
+            for k in range(NP)
+        ]
+        a = sum(J[k] * xc[k] for k in range(nk))  # [2T, 128]
+
+        # point reduction: sum over BOTH packed residual rows and the track
+        y = [jnp.sum(J[nk + p_] * a, axis=0) for p_ in range(3)]
+        va, vb, vc, vd, ve, vf = (vinv_ref[i] for i in range(6))
+        z0 = va * y[0] + vb * y[1] + vc * y[2]
+        z1 = vb * y[0] + vd * y[1] + ve * y[2]
+        z2 = vc * y[0] + ve * y[1] + vf * y[2]
+        d = a - (
+            J[nk] * z0[None] + J[nk + 1] * z1[None] + J[nk + 2] * z2[None]
+        )
+
+        # fold the two residual halves before the camera scatter
+        vals = []
+        for k in range(nk):
+            w = J[k] * d  # [2T, 128]
+            vals.append(w[:T] + w[T:])
+        _tile_scatter(accp, vals[:6], ii, T, n_ichunks)
+        _tile_scatter(acci, vals[6:], ci, T, n_cchunks)
+
+        @pl.when(pt == n_pt - 1)
+        def _flush():
+            outp_ref[:] = accp[:]
+            outi_ref[:] = acci[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cg_matvec16_bucket(J16, img_idx2, cam_idx2, img_idx, cam_idx, Vinv,
+                       xpose_t, xintr_t, interpret=False):
+    """One bucket's implicit Schur matvec from bf16-packed J.
+
+    J16 [9+NP, 2T, P] bf16 (see pack_j_bf16); img_idx2/cam_idx2 [2T, P]
+    (indices repeated for both packed residual rows); img_idx/cam_idx
+    [T, P]; remaining args as cg_matvec_bucket."""
+    nj, T2, P = J16.shape
+    NP = nj - 9
+    T = T2 // 2
+    n_pt = P // _LANES
+    kernel = _make_matvec16_kernel(
+        T, n_pt, xpose_t.shape[1] // _LANES, xintr_t.shape[1] // _LANES, NP
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_pt,),
+        in_specs=[
+            pl.BlockSpec((nj, T2, _LANES), lambda p: (0, 0, p)),
+            pl.BlockSpec((T2, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T2, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((6, _LANES), lambda p: (0, p)),
+            pl.BlockSpec(xpose_t.shape, lambda p: (0, 0)),
+            pl.BlockSpec(xintr_t.shape, lambda p: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(xpose_t.shape, lambda p: (0, 0)),
+            pl.BlockSpec(xintr_t.shape, lambda p: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(xpose_t.shape, jnp.float32),
+            pltpu.VMEM(xintr_t.shape, jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(xpose_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(xintr_t.shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(J16, img_idx2, cam_idx2, img_idx, cam_idx, Vinv, xpose_t, xintr_t)
+
+
+def pack_j_bf16(J):
+    """[2, nj, T, P] f32 -> [nj, 2T, P] bf16 (rows 0..T-1 = residual row 0).
+
+    One XLA transpose+cast per LM step; the CG loop then reads half the
+    bytes per matvec for cg_iters matvecs."""
+    _, nj, T, P = J.shape
+    return (
+        J.transpose(1, 0, 2, 3).reshape(nj, 2 * T, P).astype(jnp.bfloat16)
+    )
+
+
+def schur_matvec16(buckets, J16_l, Vinv_l, x_pose, x_intr, I, C,
+                   interpret=None):
+    """Implicit S x over all buckets from bf16-packed J (see schur_matvec)."""
+    if interpret is None:
+        interpret = interpret_default()
+    NP = J16_l[0].shape[0] - 9
+    Ip = _round_up(I, _LANES)
+    Cp = _round_up(C, _LANES)
+    xp_t = jnp.zeros((8, Ip), jnp.float32).at[:6, :I].set(x_pose.T)
+    mp8 = _round_up(NP, 8)
+    xi_t = jnp.zeros((mp8, Cp), jnp.float32).at[:NP, :C].set(x_intr.T)
+    out_pose = jnp.zeros((I, 6))
+    out_intr = jnp.zeros((C, NP))
+    for b, J16, Vinv in zip(buckets, J16_l, Vinv_l):
+        ii2 = jnp.concatenate([b.img_idx, b.img_idx], axis=0)
+        ci2 = jnp.concatenate([b.cam_idx, b.cam_idx], axis=0)
+        op_t, oi_t = cg_matvec16_bucket(
+            J16, ii2, ci2, b.img_idx, b.cam_idx, Vinv, xp_t, xi_t,
+            interpret=interpret,
+        )
+        out_pose = out_pose + op_t[:6, :I].T
+        out_intr = out_intr + oi_t[:NP, :C].T
+    return out_pose, out_intr
+
+
 def _make_gather_kernel(Ri, Rc, T, n_ichunks, n_cchunks):
     def kernel(itab_ref, ctab_ref, ii_ref, ci_ref, outi_ref, outc_ref):
         ii = ii_ref[:]

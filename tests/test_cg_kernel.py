@@ -206,3 +206,38 @@ def test_cg_matvec_multi_bucket_sum():
     np.testing.assert_allclose(
         np.asarray(out_i) / scale, refs_i / scale, atol=3e-5
     )
+
+
+def test_cg_matvec_bf16_packed_matches_f32():
+    """bf16-packed matvec == f32 matvec to bf16 storage tolerance."""
+    rng = np.random.default_rng(11)
+    T, P, I, C = 8, 256, 12, 2
+    NP = 4
+    nj = 9 + NP
+    J = rng.normal(size=(2, nj, T, P)).astype(np.float32)
+    mask = (rng.uniform(size=(T, P)) > 0.3).astype(np.float32)
+    J *= mask[None, None]
+    img_idx = rng.integers(0, I, (T, P)).astype(np.int32)
+    cam_idx = rng.integers(0, C, (T, P)).astype(np.int32)
+    Vinv = rng.normal(size=(6, P)).astype(np.float32)
+    x_pose = rng.normal(size=(I, 6)).astype(np.float32)
+    x_intr = rng.normal(size=(C, NP)).astype(np.float32)
+
+    ref_p, ref_i = ck.schur_matvec(
+        [_Bucket(img_idx, cam_idx)], [jnp.asarray(J)], [jnp.asarray(Vinv)],
+        jnp.asarray(x_pose), jnp.asarray(x_intr), I, C, interpret=True,
+    )
+    J16 = ck.pack_j_bf16(jnp.asarray(J))
+    out_p, out_i = ck.schur_matvec16(
+        [_Bucket(img_idx, cam_idx)], [J16], [jnp.asarray(Vinv)],
+        jnp.asarray(x_pose), jnp.asarray(x_intr), I, C, interpret=True,
+    )
+    scale = max(np.abs(np.asarray(ref_p)).max(),
+                np.abs(np.asarray(ref_i)).max(), 1.0)
+    # bf16 storage of J -> ~8e-3 relative on the quadratic form
+    np.testing.assert_allclose(
+        np.asarray(out_p) / scale, np.asarray(ref_p) / scale, atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_i) / scale, np.asarray(ref_i) / scale, atol=3e-2
+    )

@@ -21,6 +21,12 @@ import subprocess
 import sys
 import time
 
+# Bench shapes are fixed: the next-signature compile prewarm
+# (sfm/ba_kernels._prewarm_next_signatures) would only spawn daemon
+# threads whose in-flight remote compiles abort interpreter teardown
+# (RC=134) when the process exits right after printing.
+os.environ.setdefault("PYCOLMAP_TPU_BA_PREWARM_NEXT", "0")
+
 NUM_IMAGES = 128
 NUM_POINTS = 100_000
 OBS_PER_POINT = 6
@@ -106,6 +112,11 @@ def main():
             }
         )
     )
+    # skip interpreter teardown: any background thread blocked in a remote
+    # tunnel RPC at exit aborts the process (observed "FATAL: exception not
+    # rethrown" -> RC 134) after the result line has already been printed
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -1431,4 +1431,93 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
         cam_quat=quat, cam_trans=trans, intrinsics=intr,
         points=jnp.asarray(points),
     )
+    if mesh is None:
+        _prewarm_next_signatures(
+            tuple(b.points.shape[1] for b in buckets),
+            tuple(b.mask.shape[0] for b in buckets),
+            I_pad, C_pad, problem.model_id,
+            int(options.loss_function_type), cg_iters,
+            int(options.max_num_iterations),
+        )
     return new_problem, summary
+
+
+# Predictive compile prewarm: an incremental-mapping run meets a short
+# monotone ladder of solver signatures (4x padded I / per-bucket P steps);
+# the FIRST solve at each new shape blocks on a minutes-scale remote
+# compile (measured 192 s for a global-BA step, 2026-08-21). After each
+# solve, compile the likely next shapes up in a daemon thread on all-zero
+# buckets of exactly those paddings, so growth finds a warm executable.
+_prewarmed_sigs: set = set()
+_prewarm_lock = None
+
+
+def _prewarm_next_signatures(npts, nts, I_pad, C_pad, model_id, loss_type,
+                             cg_iters, max_iterations):
+    import threading
+
+    global _prewarm_lock
+    if os.environ.get("PYCOLMAP_TPU_BA_PREWARM_NEXT", "1") == "0":
+        return
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:  # pragma: no cover
+        return
+    if _prewarm_lock is None:
+        _prewarm_lock = threading.Lock()
+
+    base = (npts, nts, I_pad, C_pad, model_id, loss_type, cg_iters,
+            max_iterations)
+    cands = [
+        (tuple(npts), I_pad * 4),                      # images grow
+        (tuple(p * 4 for p in npts), I_pad),           # points grow
+        (tuple(p * 4 for p in npts), I_pad * 4),       # both grow
+    ]
+    todo = []
+    with _prewarm_lock:
+        _prewarmed_sigs.add((tuple(npts), I_pad) + base[3:])
+        for npts_c, ipad_c in cands:
+            sig = (npts_c, ipad_c) + base[3:]
+            if sig not in _prewarmed_sigs:
+                _prewarmed_sigs.add(sig)
+                todo.append((npts_c, ipad_c))
+    if not todo:
+        return
+
+    def work():
+        try:
+            for npts_c, ipad_c in todo:
+                buckets = tuple(
+                    Bucket(
+                        img_idx=np.zeros((T, P), np.int32),
+                        cam_idx=np.zeros((T, P), np.int32),
+                        xy=np.zeros((2, T, P), np.float32),
+                        mask=np.zeros((T, P), np.float32),
+                        points=np.zeros((3, P), np.float32),
+                        point_free=np.zeros(P, np.float32),
+                        point_rows=np.zeros(P, np.int32),
+                    )
+                    for T, P in zip(nts, npts_c)
+                )
+                pts_all = np.zeros((3, sum(npts_c)), np.float32)
+                quat0 = np.tile(
+                    np.array([[1.0, 0, 0, 0]], np.float32), (ipad_c, 1)
+                )
+                out = _solve_bucketed_packed_jit(
+                    jax.device_put(buckets), pts_all,
+                    quat0, np.zeros((ipad_c, 3), np.float32),
+                    np.ones((C_pad, MAX_PARAMS), np.float32),
+                    np.zeros((ipad_c, 6), np.float32),
+                    np.zeros((C_pad, MAX_PARAMS), np.float32),
+                    npts_c, ipad_c, C_pad, model_id, loss_type,
+                    jnp.float32(1.0), cg_iters, max_iterations,
+                    img2cam=np.zeros(ipad_c, np.int32),
+                )
+                jax.block_until_ready(out)
+        except Exception:  # never take the pipeline down from the warm path
+            pass
+
+    threading.Thread(
+        target=work, name="pycolmap-tpu-ba-prewarm-next", daemon=True
+    ).start()

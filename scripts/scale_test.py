@@ -58,6 +58,12 @@ def main(num_images=60, num_points=3000, out="/tmp/scale_test",
         rot = np.median([e.rotation_error_deg for e in result["errors"]])
         ctr = np.median([e.proj_center_error for e in result["errors"]])
         print(f"vs GT: median rot err {rot:.4f} deg, center err {ctr:.5f}")
+    # skip interpreter teardown: a prewarm thread blocked in a remote
+    # tunnel RPC at exit aborts the process after the stats have printed
+    import os as _os
+
+    sys.stdout.flush()
+    _os._exit(0)
 
 
 if __name__ == "__main__":

@@ -47,7 +47,7 @@ _KB = 8
 
 
 def _sampler_kernel(ch0_ref, y0_ref, x0_ref, vol_ref, wy_ref, wx_ref,
-                    out_ref, win, sem, *, win_y, win_x):
+                    out_ref, win, sem, *, win_y, win_x, bf16):
     kb = pl.program_id(0) * _KB
 
     def dma(i):
@@ -75,14 +75,21 @@ def _sampler_kernel(ch0_ref, y0_ref, x0_ref, vol_ref, wy_ref, wx_ref,
         Wy = jnp.maximum(0.0, 1.0 - jnp.abs(wy_ref[i][:, None] - rows))
         Wx = jnp.maximum(0.0, 1.0 - jnp.abs(wx_ref[i][:, None] - cols))
         dma(i).wait()
+        if bf16:
+            # halve the MXU passes: tent weights lose ~3 decimal digits,
+            # well under the u8 descriptor quantization downstream
+            Wy = Wy.astype(jnp.bfloat16)
         for c in range(2):
-            M = jnp.dot(Wy, win[i, c], preferred_element_type=jnp.float32)
+            src = win[i, c].astype(jnp.bfloat16) if bf16 else win[i, c]
+            M = jnp.dot(Wy, src, preferred_element_type=jnp.float32)
             out_ref[i, c, :] = jnp.sum(M * Wx, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("win_y", "win_x", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("win_y", "win_x", "bf16", "interpret")
+)
 def _sample_windows_pallas(vol, ch0, y0, x0, wy, wx, win_y, win_x,
-                           interpret=False):
+                           bf16=False, interpret=False):
     """vol [NC, LHp, Wp] f32; ch0/y0/x0 [K] int32 (x0 mult of 128, y0 of 8,
     K mult of _KB); wy/wx [K, S] f32 in-window coords. Returns [K, 2, S]."""
     K = ch0.shape[0]
@@ -100,7 +107,9 @@ def _sample_windows_pallas(vol, ch0, y0, x0, wy, wx, win_y, win_x,
             pltpu.SemaphoreType.DMA((_KB,)),
         ],
     )
-    kernel = functools.partial(_sampler_kernel, win_y=win_y, win_x=win_x)
+    kernel = functools.partial(
+        _sampler_kernel, win_y=win_y, win_x=win_x, bf16=bf16
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -152,7 +161,14 @@ def window_sizes(support_px: float):
     return None
 
 
-def sample_windows(vol, ch0, ys, xs, win_y, win_x, interpret=False):
+def _bf16_default() -> bool:
+    import os
+
+    return os.environ.get("PYCOLMAP_TPU_SIFT_SAMPLER_BF16", "0") == "1"
+
+
+def sample_windows(vol, ch0, ys, xs, win_y, win_x, interpret=False,
+                   bf16=None):
     """Bilinear-sample a channel-pair volume at per-keypoint grid positions.
 
     vol: [NC, LHp, Wp] f32, zero-padded via :func:`pad_volume`;
@@ -182,8 +198,11 @@ def sample_windows(vol, ch0, ys, xs, win_y, win_x, interpret=False):
         x0 = jnp.pad(x0, ((0, kp - K),))
         wy = jnp.pad(wy, pad, constant_values=-2.0)  # all-zero tent rows
         wx = jnp.pad(wx, pad, constant_values=-2.0)
+    if bf16 is None:
+        bf16 = _bf16_default()
     out = _sample_windows_pallas(
-        vol, ch0, y0, x0, wy, wx, win_y, win_x, interpret=interpret
+        vol, ch0, y0, x0, wy, wx, win_y, win_x, bf16=bf16,
+        interpret=interpret
     )[:K]  # [K, 2, S]
     return out[:, 0].reshape(K, G, G), out[:, 1].reshape(K, G, G)
 

@@ -1450,14 +1450,20 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
 # buckets of exactly those paddings, so growth finds a warm executable.
 _prewarmed_sigs: set = set()
 _prewarm_lock = None
+_prewarm_thread = None
 
 
 def _prewarm_next_signatures(npts, nts, I_pad, C_pad, model_id, loss_type,
                              cg_iters, max_iterations):
     import threading
 
-    global _prewarm_lock
+    global _prewarm_lock, _prewarm_thread
     if os.environ.get("PYCOLMAP_TPU_BA_PREWARM_NEXT", "1") == "0":
+        return
+    # only for global-BA-sized solves: local-BA signatures are few and hit
+    # early, and speculative compiles QUEUE AHEAD of the critical path on
+    # the (serial) remote compile service — a miss costs real wall time
+    if I_pad < 32:
         return
     try:
         if jax.default_backend() == "cpu":
@@ -1469,13 +1475,15 @@ def _prewarm_next_signatures(npts, nts, I_pad, C_pad, model_id, loss_type,
 
     base = (npts, nts, I_pad, C_pad, model_id, loss_type, cg_iters,
             max_iterations)
+    # single most-likely next shape: the reconstruction grows images and
+    # points together between global rounds
     cands = [
-        (tuple(npts), I_pad * 4),                      # images grow
-        (tuple(p * 4 for p in npts), I_pad),           # points grow
-        (tuple(p * 4 for p in npts), I_pad * 4),       # both grow
+        (tuple(p * 4 for p in npts), I_pad * 4),
     ]
     todo = []
     with _prewarm_lock:
+        if _prewarm_thread is not None and _prewarm_thread.is_alive():
+            return  # at most one speculative compile in flight
         _prewarmed_sigs.add((tuple(npts), I_pad) + base[3:])
         for npts_c, ipad_c in cands:
             sig = (npts_c, ipad_c) + base[3:]
@@ -1518,6 +1526,9 @@ def _prewarm_next_signatures(npts, nts, I_pad, C_pad, model_id, loss_type,
         except Exception:  # never take the pipeline down from the warm path
             pass
 
-    threading.Thread(
+    t = threading.Thread(
         target=work, name="pycolmap-tpu-ba-prewarm-next", daemon=True
-    ).start()
+    )
+    with _prewarm_lock:
+        _prewarm_thread = t
+    t.start()

@@ -220,3 +220,35 @@ if __name__ == "__main__" and os.environ.get(
     jax.config.update("jax_enable_compilation_cache", False)
     _run_mesh_solve_check()
     print("mesh solve check OK")
+
+
+class TestBucketCache:
+    def test_structure_cached_and_content_keyed(self):
+        from pycolmap_tpu.sfm import ba_kernels as bk
+
+        p1 = make_problem(num_points=300, seed=11)
+        b1, pts1, rows1, sel1 = bk._bucketize_cached(p1, None)
+        # same graph, different point values -> same cached structure
+        p2 = p1._replace(points=p1.points + 0.25)
+        b2, pts2, rows2, sel2 = bk._bucketize_cached(p2, None)
+        assert b1 is b2 and rows1 is rows2
+        assert not np.allclose(pts1[0], pts2[0])
+        # different observation graph -> different cache entry
+        xy = np.asarray(p1.obs_xy).copy()
+        xy[0, 0] += 1.0
+        import jax.numpy as jnp
+
+        p3 = p1._replace(obs_xy=jnp.asarray(xy))
+        b3, *_ = bk._bucketize_cached(p3, None)
+        assert b3 is not b1
+
+    def test_cached_solve_matches_fresh(self):
+        from pycolmap_tpu.sfm import ba_kernels as bk
+
+        p = make_problem(num_points=200, seed=12)
+        opts = BundleAdjustmentOptions()
+        opts.max_num_iterations = 4
+        _, s1 = bk.solve_bundle_fast(p, opts, cg_iters=8)
+        # second solve hits the device-resident structure cache
+        _, s2 = bk.solve_bundle_fast(p, opts, cg_iters=8)
+        assert np.isclose(s1.final_cost, s2.final_cost, rtol=1e-5)

@@ -68,6 +68,41 @@ def run_ba(lm_iters: int):
     return iters / dt, summary
 
 
+def run_mapping():
+    """C1-scale incremental mapping: registered images/sec (fresh graph).
+
+    30 synthetic images / 2000 points with verified matches — the mapper,
+    triangulator and local/global BA scheduling end-to-end (the second
+    headline metric of BASELINE.json). Wall-clock includes any compiles not
+    yet in the persistent executable cache (utils/aot_cache.py), matching
+    how a user experiences a fresh process."""
+    import sys as _sys
+    import tempfile
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from test_incremental_mapping import make_synthetic_database
+
+    from pycolmap_tpu.pipeline.sfm import (
+        IncrementalPipelineOptions,
+        incremental_mapping,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        out = Path(td)
+        make_synthetic_database(
+            out / "db.db", num_images=30, num_points=2000, pixel_noise=0.4
+        )
+        options = IncrementalPipelineOptions()
+        options.min_model_size = 6
+        options.extract_colors = False
+        t0 = time.perf_counter()
+        recs = incremental_mapping(out / "db.db", out, out / "sparse", options)
+        dt = time.perf_counter() - t0
+        n_reg = recs[0].num_reg_images if recs else 0
+    return n_reg / dt, n_reg
+
+
 def main():
     if os.environ.get("BENCH_CPU_WORKER"):
         import jax
@@ -78,6 +113,11 @@ def main():
         return
 
     rate, summary = run_ba(lm_iters=LM_ITERS)
+
+    try:
+        reg_per_sec, n_reg = run_mapping()
+    except Exception:
+        reg_per_sec, n_reg = None, 0
 
     # CPU baseline in a subprocess (fresh backend selection)
     cpu_rate = None
@@ -109,6 +149,10 @@ def main():
                 "value": round(rate, 3),
                 "unit": "iters/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "registered_images_per_sec_30img_fresh": (
+                    round(reg_per_sec, 3) if reg_per_sec else None
+                ),
+                "registered_images": n_reg,
             }
         )
     )

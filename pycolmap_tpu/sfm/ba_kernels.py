@@ -727,14 +727,35 @@ def _dense_schur_solve(
 # ---------------------------------------------------------------------------
 
 
+def _env_knobs():
+    """Solver behavior knobs (Pallas on/off, bucket router threshold, bf16 CG
+    packing, dense-Schur cutoff), read from env at SOLVER-ENTRY (host) time
+    and threaded through the jit as a static argument. Reading os.environ
+    inside the traced function freezes the first-seen value into the compiled
+    executable (the jit cache keys only on shapes/statics), so flipping a
+    knob mid-process would silently have no effect on compiled signatures."""
+    from pycolmap_tpu.sfm import cg_kernel as _ck
+
+    d = os.environ.get("PYCOLMAP_TPU_DENSE_SCHUR_MAX_D")
+    return (
+        _ck.matvec_enabled(),
+        int(os.environ.get("PYCOLMAP_TPU_BA_PALLAS_MIN_SLOTS", 65536)),
+        os.environ.get("PYCOLMAP_TPU_BA_CG_BF16", "1") != "0",
+        None if d is None else int(d),
+    )
+
+
 def _lm_solve_bucketed(
     buckets, quat0, trans0, intr0, pose_free, intr_free, num_images,
     num_cameras, model_id, loss_type, loss_scale, cg_iters, max_iterations,
-    img2cam=None,
+    img2cam=None, knobs=None,
 ):
     from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
     from pycolmap_tpu.sfm import cg_kernel as _ck
 
+    if knobs is None:  # direct/profiling callers: resolve at trace time
+        knobs = _env_knobs()
+    use_pallas_knob, min_slots, use_cg_bf16, dense_env = knobs
     I, C = num_images, num_cameras
     # NP-narrow intrinsics: the solver's loop state, gathers, Jacobians and
     # camera-side reductions all use the model's ACTUAL parameter count
@@ -745,15 +766,12 @@ def _lm_solve_bucketed(
     intr0 = intr0[:, :NP]
     intr_free = intr_free[:, :NP]
     use_onehot = I <= _ONEHOT_MAX_SEGMENTS
-    use_pallas = _ck.matvec_enabled()
+    use_pallas = use_pallas_knob
     # Per-bucket engine choice: the fused Pallas kernels (res+jac, prepare,
     # matvec, backsub+cost) win on big buckets, but every fresh (T, P)
     # kernel shape costs a minutes-scale Mosaic remote compile — and the
     # mapper's local-BA signatures are legion. Small buckets therefore run
     # the XLA one-hot path (cheap at their size, XLA compiles are ~seconds).
-    min_slots = int(
-        os.environ.get("PYCOLMAP_TPU_BA_PALLAS_MIN_SLOTS", 65536)
-    )
     pallas_b = [
         use_pallas and (b.mask.shape[0] * b.mask.shape[1] >= min_slots)
         for b in buckets
@@ -766,9 +784,7 @@ def _lm_solve_bucketed(
     # build well before D = 2048 (measured 24.3 vs 10.7 LM iters/s at
     # C3 scale, D = 780); keep dense only for small local-BA windows
     dense_default = 512 if any_pallas else _DENSE_SCHUR_MAX_D
-    dense_max_d = int(
-        os.environ.get("PYCOLMAP_TPU_DENSE_SCHUR_MAX_D", dense_default)
-    )
+    dense_max_d = dense_env if dense_env is not None else dense_default
     use_dense = (
         img2cam is not None
         and use_onehot
@@ -920,8 +936,7 @@ def _lm_solve_bucketed(
         # bf16-packed J for the Pallas CG matvecs: [nj, 2T, P] bf16 tiles
         # (residual rows packed into sublanes) halve the J stream that the
         # CG loop re-reads cg_iters times; one transpose+cast per LM step.
-        # PYCOLMAP_TPU_BA_CG_BF16=0 keeps full-f32 matvecs.
-        use_cg_bf16 = os.environ.get("PYCOLMAP_TPU_BA_CG_BF16", "1") != "0"
+        # PYCOLMAP_TPU_BA_CG_BF16=0 keeps full-f32 matvecs (via knobs).
         if pal and use_cg_bf16:
             J16_pal = [_ck.pack_j_bf16(J_l[i]) for i in pal]
             ii2_pal = [
@@ -1185,18 +1200,18 @@ def _lm_solve_bucketed(
     jax.jit,
     static_argnames=(
         "num_images", "num_cameras", "model_id", "loss_type", "cg_iters",
-        "max_iterations",
+        "max_iterations", "knobs",
     ),
 )
 def _solve_bucketed_jit(
     buckets, quat0, trans0, intr0, pose_free, intr_free,
     num_images, num_cameras, model_id, loss_type, loss_scale,
-    cg_iters, max_iterations, img2cam=None,
+    cg_iters, max_iterations, img2cam=None, knobs=None,
 ):
     return _lm_solve_bucketed(
         buckets, quat0, trans0, intr0, pose_free, intr_free,
         num_images, num_cameras, model_id, loss_type, loss_scale,
-        cg_iters, max_iterations, img2cam=img2cam,
+        cg_iters, max_iterations, img2cam=img2cam, knobs=knobs,
     )
 
 
@@ -1204,13 +1219,13 @@ def _solve_bucketed_jit(
     jax.jit,
     static_argnames=(
         "npts", "num_images", "num_cameras", "model_id", "loss_type",
-        "cg_iters", "max_iterations",
+        "cg_iters", "max_iterations", "knobs",
     ),
 )
 def _solve_bucketed_packed_jit(
     buckets, pts_all, quat0, trans0, intr0, pose_free, intr_free,
     npts, num_images, num_cameras, model_id, loss_type, loss_scale,
-    cg_iters, max_iterations, img2cam=None,
+    cg_iters, max_iterations, img2cam=None, knobs=None,
 ):
     """Transfer-packed solver entry: bucket structure arrays arrive
     device-resident (see _bucketize_cached); the parameter-dependent point
@@ -1227,7 +1242,7 @@ def _solve_bucketed_packed_jit(
     quat, trans, intr, pts_list, cost0, cost, it = _lm_solve_bucketed(
         bl, quat0, trans0, intr0, pose_free, intr_free,
         num_images, num_cameras, model_id, loss_type, loss_scale,
-        cg_iters, max_iterations, img2cam=img2cam,
+        cg_iters, max_iterations, img2cam=img2cam, knobs=knobs,
     )
     return jnp.concatenate(
         [quat.reshape(-1), trans.reshape(-1), intr.reshape(-1)]
@@ -1279,7 +1294,19 @@ def _bucketize_cached(problem: BundleProblem, mesh):
         a = np.ascontiguousarray(np.asarray(a))
         h.update(str(a.shape).encode())
         h.update(a.tobytes())
-    key = (h.digest(), None if mesh is None else id(mesh))
+    # mesh keyed by CONTENT (device ids + axis layout), not id(): a gc'd
+    # mesh's address can be reused by a new mesh whose sharded arrays would
+    # then silently alias a stale entry laid out for dead devices
+    mesh_key = (
+        None
+        if mesh is None
+        else (
+            tuple(d.id for d in mesh.devices.flat),
+            tuple(mesh.axis_names),
+            mesh.devices.shape,
+        )
+    )
+    key = (h.digest(), mesh_key)
     hit = _bucket_cache.get(key)
     if hit is None:
         buckets = bucketize(problem)
@@ -1375,19 +1402,56 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
     from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
 
     NP = CAMERA_MODEL_BY_ID[problem.model_id].num_params
+    knobs = _env_knobs()
     if mesh is None:
         npts = tuple(b.points.shape[1] for b in buckets)
+        nts = tuple(b.mask.shape[0] for b in buckets)
         pts_all = np.concatenate(pts_host_l, axis=1)
-        packed = _solve_bucketed_packed_jit(
-            buckets, pts_all,
-            cam_quat, cam_trans, intrinsics,
-            pose_free, intr_free,
-            npts, I_pad, C_pad, problem.model_id,
-            int(options.loss_function_type),
-            jnp.float32(options.loss_function_scale),
-            cg_iters, int(options.max_num_iterations),
-            img2cam=img2cam,
-        )
+        loss_type = int(options.loss_function_type)
+        max_iters = int(options.max_num_iterations)
+        loss_scale = jnp.float32(options.loss_function_scale)
+        statics = (npts, I_pad, C_pad, problem.model_id, loss_type,
+                   cg_iters, max_iters, knobs)
+        # persistent executable cache: fresh processes re-pay each solver
+        # signature's remote compile (190-260 s for global-BA shapes)
+        # without it — see utils/aot_cache.py
+        import sys
+
+        from pycolmap_tpu.sfm import cg_kernel as _ckm
+        from pycolmap_tpu.utils import aot_cache
+
+        sig = ("packed", nts, statics,
+               aot_cache.source_salt(sys.modules[__name__], _ckm))
+        exe = aot_cache.get("ba", sig)
+        if exe is not None:
+            packed = exe(
+                buckets, pts_all, cam_quat, cam_trans, intrinsics,
+                pose_free, intr_free, loss_scale, img2cam=img2cam,
+            )
+        else:
+            packed = _solve_bucketed_packed_jit(
+                buckets, pts_all,
+                cam_quat, cam_trans, intrinsics,
+                pose_free, intr_free,
+                npts, I_pad, C_pad, problem.model_id, loss_type,
+                loss_scale, cg_iters, max_iters,
+                img2cam=img2cam, knobs=knobs,
+            )
+            if aot_cache.enabled():
+                try:
+                    aot_cache.put(
+                        "ba", sig,
+                        _solve_bucketed_packed_jit.lower(
+                            buckets, pts_all,
+                            cam_quat, cam_trans, intrinsics,
+                            pose_free, intr_free,
+                            npts, I_pad, C_pad, problem.model_id,
+                            loss_type, loss_scale, cg_iters, max_iters,
+                            img2cam=img2cam, knobs=knobs,
+                        ).compile(),  # in-memory hit: ~ms after the call
+                    )
+                except Exception:
+                    pass
         packed = np.asarray(packed)  # ONE D2H
         o = 0
         quat = packed[o:o + 4 * I_pad].reshape(I_pad, 4); o += 4 * I_pad
@@ -1406,7 +1470,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
             int(options.loss_function_type),
             jnp.float32(options.loss_function_scale),
             cg_iters, int(options.max_num_iterations),
-            img2cam=img2cam,
+            img2cam=img2cam, knobs=knobs,
         )
         # one batched D2H transfer for all results (per-array np.asarray
         # would cost a round-trip each)
@@ -1437,7 +1501,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
             tuple(b.mask.shape[0] for b in buckets),
             I_pad, C_pad, problem.model_id,
             int(options.loss_function_type), cg_iters,
-            int(options.max_num_iterations),
+            int(options.max_num_iterations), knobs,
         )
     return new_problem, summary
 
@@ -1453,8 +1517,58 @@ _prewarm_lock = None
 _prewarm_thread = None
 
 
+def compile_solver_signature(npts, nts, I_pad, C_pad, model_id, loss_type,
+                             cg_iters, max_iterations, knobs=None):
+    """AOT-compile ONE packed-solver signature (no execution).
+
+    Uses jit(...).lower(...).compile(): the executable lands in jax's
+    executable cache keyed by the same (shape, static-args) signature the
+    real solve will present, so the first real solve at this shape dispatches
+    warm. Compile-only also means the prewarm thread never runs LM
+    iterations on the chip (it used to block_until_ready a real solve,
+    competing with critical-path work through the serialized tunnel)."""
+    import sys
+
+    from pycolmap_tpu.sfm import cg_kernel as _ckm
+    from pycolmap_tpu.utils import aot_cache
+
+    if knobs is None:
+        knobs = _env_knobs()
+    statics = (npts, I_pad, C_pad, model_id, loss_type, cg_iters,
+               max_iterations, knobs)
+    sig = ("packed", tuple(nts), statics,
+           aot_cache.source_salt(sys.modules[__name__], _ckm))
+    if aot_cache.get("ba", sig) is not None:
+        return  # already on disk (or warm in this process)
+    buckets = tuple(
+        Bucket(
+            img_idx=np.zeros((T, P), np.int32),
+            cam_idx=np.zeros((T, P), np.int32),
+            xy=np.zeros((2, T, P), np.float32),
+            mask=np.zeros((T, P), np.float32),
+            points=np.zeros((3, P), np.float32),
+            point_free=np.zeros(P, np.float32),
+            point_rows=np.zeros(P, np.int32),
+        )
+        for T, P in zip(nts, npts)
+    )
+    pts_all = np.zeros((3, sum(npts)), np.float32)
+    quat0 = np.tile(np.array([[1.0, 0, 0, 0]], np.float32), (I_pad, 1))
+    compiled = _solve_bucketed_packed_jit.lower(
+        buckets, pts_all,
+        quat0, np.zeros((I_pad, 3), np.float32),
+        np.ones((C_pad, MAX_PARAMS), np.float32),
+        np.zeros((I_pad, 6), np.float32),
+        np.zeros((C_pad, MAX_PARAMS), np.float32),
+        npts, I_pad, C_pad, model_id, loss_type,
+        jnp.float32(1.0), cg_iters, max_iterations,
+        img2cam=np.zeros(I_pad, np.int32), knobs=knobs,
+    ).compile()
+    aot_cache.put("ba", sig, compiled)
+
+
 def _prewarm_next_signatures(npts, nts, I_pad, C_pad, model_id, loss_type,
-                             cg_iters, max_iterations):
+                             cg_iters, max_iterations, knobs=None):
     import threading
 
     global _prewarm_lock, _prewarm_thread
@@ -1473,8 +1587,9 @@ def _prewarm_next_signatures(npts, nts, I_pad, C_pad, model_id, loss_type,
     if _prewarm_lock is None:
         _prewarm_lock = threading.Lock()
 
-    base = (npts, nts, I_pad, C_pad, model_id, loss_type, cg_iters,
-            max_iterations)
+    # signature includes nts (the bucket T ladder): distinct ladders with
+    # equal npts are distinct jit signatures
+    base = (C_pad, model_id, loss_type, cg_iters, max_iterations, knobs)
     # single most-likely next shape: the reconstruction grows images and
     # points together between global rounds
     cands = [
@@ -1484,47 +1599,28 @@ def _prewarm_next_signatures(npts, nts, I_pad, C_pad, model_id, loss_type,
     with _prewarm_lock:
         if _prewarm_thread is not None and _prewarm_thread.is_alive():
             return  # at most one speculative compile in flight
-        _prewarmed_sigs.add((tuple(npts), I_pad) + base[3:])
+        # the CURRENT signature just compiled for real — safe to record done
+        _prewarmed_sigs.add((tuple(npts), tuple(nts), I_pad) + base)
         for npts_c, ipad_c in cands:
-            sig = (npts_c, ipad_c) + base[3:]
+            sig = (npts_c, tuple(nts), ipad_c) + base
             if sig not in _prewarmed_sigs:
-                _prewarmed_sigs.add(sig)
-                todo.append((npts_c, ipad_c))
+                todo.append((npts_c, ipad_c, sig))
     if not todo:
         return
 
     def work():
-        try:
-            for npts_c, ipad_c in todo:
-                buckets = tuple(
-                    Bucket(
-                        img_idx=np.zeros((T, P), np.int32),
-                        cam_idx=np.zeros((T, P), np.int32),
-                        xy=np.zeros((2, T, P), np.float32),
-                        mask=np.zeros((T, P), np.float32),
-                        points=np.zeros((3, P), np.float32),
-                        point_free=np.zeros(P, np.float32),
-                        point_rows=np.zeros(P, np.int32),
-                    )
-                    for T, P in zip(nts, npts_c)
+        for npts_c, ipad_c, sig in todo:
+            try:
+                compile_solver_signature(
+                    npts_c, nts, ipad_c, C_pad, model_id, loss_type,
+                    cg_iters, max_iterations, knobs,
                 )
-                pts_all = np.zeros((3, sum(npts_c)), np.float32)
-                quat0 = np.tile(
-                    np.array([[1.0, 0, 0, 0]], np.float32), (ipad_c, 1)
-                )
-                out = _solve_bucketed_packed_jit(
-                    jax.device_put(buckets), pts_all,
-                    quat0, np.zeros((ipad_c, 3), np.float32),
-                    np.ones((C_pad, MAX_PARAMS), np.float32),
-                    np.zeros((ipad_c, 6), np.float32),
-                    np.zeros((C_pad, MAX_PARAMS), np.float32),
-                    npts_c, ipad_c, C_pad, model_id, loss_type,
-                    jnp.float32(1.0), cg_iters, max_iterations,
-                    img2cam=np.zeros(ipad_c, np.int32),
-                )
-                jax.block_until_ready(out)
-        except Exception:  # never take the pipeline down from the warm path
-            pass
+            except Exception:
+                # never take the pipeline down from the warm path; the
+                # signature stays unrecorded so a later call can retry
+                continue
+            with _prewarm_lock:
+                _prewarmed_sigs.add(sig)
 
     t = threading.Thread(
         target=work, name="pycolmap-tpu-ba-prewarm-next", daemon=True

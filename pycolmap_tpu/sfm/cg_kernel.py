@@ -97,9 +97,14 @@ def _tile_scatter(acc, vals, idx, T, n_chunks):
                 ) + c * _LANES
                 == idx_t[None, :]
             ).astype(jnp.float32)  # [128 (i), 128 (p)]
+            # precision=HIGHEST: default MXU precision bf16-truncates the f32
+            # values operand (the one-hot side is exact either way), which
+            # would corrupt gradient/Hessian reductions — same requirement as
+            # the XLA twins _gather_mm/_scatter_cam in ba_kernels.py.
             contrib = jax.lax.dot_general(
                 v_t, oh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [R, 128 (i)]
             sl = pl.ds(c * _LANES, _LANES)
             acc[0:R, sl] = acc[0:R, sl] + contrib

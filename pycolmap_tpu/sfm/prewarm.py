@@ -76,7 +76,7 @@ def prewarm_mapper_ba(
     def work():
         try:
             from pycolmap_tpu.parallel.synthetic import make_synthetic_bundle
-            from pycolmap_tpu.sfm.bundle_adjustment import solve_bundle
+            from pycolmap_tpu.sfm import ba_kernels as bk
 
             for ni, npts, opp, is_global in _CASES:
                 problem = make_synthetic_bundle(
@@ -88,7 +88,23 @@ def prewarm_mapper_ba(
                 )
                 problem = problem._replace(model_id=model_id)
                 options = global_options if is_global else local_options
-                solve_bundle(problem, options, cg_iters=cg_iters)
+                # derive the exact jit signature by host-side bucketize (ms)
+                # and AOT-compile it — no solve EXECUTION on the chip (the
+                # old path ran real LM iterations competing with
+                # critical-path work through the serialized tunnel), and the
+                # executable persists to the aot_cache for future processes
+                buckets = bk.bucketize(problem)
+                bk.compile_solver_signature(
+                    tuple(b.points.shape[1] for b in buckets),
+                    tuple(b.mask.shape[0] for b in buckets),
+                    bk._pad_4x(problem.num_images, 8),
+                    bk._pad_4x(problem.num_cameras, 1),
+                    model_id,
+                    int(options.loss_function_type),
+                    cg_iters,
+                    int(options.max_num_iterations),
+                    knobs=bk._env_knobs(),
+                )
         except Exception:  # never take the pipeline down from the warm path
             pass
 

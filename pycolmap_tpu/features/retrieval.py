@@ -1,126 +1,450 @@
-"""Visual retrieval: k-means vocabulary + TF-IDF scoring for pair selection.
+"""Visual retrieval: hierarchical k-means vocabulary tree + inverted index.
 
-TPU-native stand-in for the reference's HKM vocab-tree retrieval
+TPU-native re-design of the reference's HKM vocab-tree retrieval
 (ref: pipeline/match_features.h:177-214 VocabTreeMatchingOptions; upstream
-colmap/retrieval). Instead of loading a pretrained vocab-tree file, the
-vocabulary is trained on the fly from the database's own descriptors with a
-few batched k-means iterations (assignment = one MXU matmul), then images are
-scored by cosine similarity of their TF-IDF bag-of-words vectors.
+colmap/src/colmap/retrieval/{visual_index,vocab_tree}*, after Nistér &
+Stewénius "Scalable Recognition with a Vocabulary Tree"):
+
+- :class:`VocabTree` — a branching^depth hierarchical k-means vocabulary
+  (default 8^4 = 4096 visual words) trained level-by-level with BATCHED
+  k-means: every node of a level is refined simultaneously, assignments are
+  one MXU matmul per iteration masked to each descriptor's sibling block.
+  Unlike the reference (which requires a pretrained vocab file), the tree
+  trains on the fly from the database's own descriptors in a few seconds;
+  ``vocab_tree_path`` saves/loads the trained tree (npz) for reuse.
+- quantization: for vocabularies up to ~16k words the flat [N, K] matmul
+  argmax IS the TPU-native fast path (one systolic contraction; the CPU
+  reference needs the tree to avoid this cost, the MXU does not). For larger
+  vocabularies a beam descent honoring ``num_checks`` (best-bin-first
+  analog, ref FLANN checks) bounds work per descriptor.
+- :class:`InvertedIndex` — word -> postings of (image, tf-idf weight);
+  querying touches only images sharing words with the query (sub-linear in
+  database size, matching the reference's inverted-file design) and scores
+  by cosine similarity of L2-normalized tf-idf vectors.
+
+``num_nearest_neighbors`` soft-assigns each descriptor to its top-n words,
+``num_images_after_verification`` is honored by the matching pipelines
+(pipeline/match_features.py) which cap verified pairs per query image.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import numpy as np
 
 from pycolmap_tpu.features.matcher import _to_unit_float
 
+_FLAT_QUANT_MAX_WORDS = 16384
 
-def _kmeans(descs: np.ndarray, k: int, iters: int = 10, seed: int = 0):
+
+def _device_matmul(a: np.ndarray, b_t: np.ndarray) -> np.ndarray:
+    """a [N, D] x b_t [K, D]^T -> [N, K] similarity, on device when available."""
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(descs), size=min(k, len(descs)), replace=False)
-    centers = descs[idx].copy()
-    d = jnp.asarray(descs)
-    for _ in range(iters):
-        c = jnp.asarray(centers)
-        sim = jnp.dot(d, c.T, preferred_element_type=jnp.float32)
-        assign = np.asarray(jnp.argmax(sim, axis=1))
-        for j in range(len(centers)):
-            sel = descs[assign == j]
-            if len(sel):
-                v = sel.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 1e-12:
-                    centers[j] = v / n
-    return centers
-
-
-def _quantize(descs: np.ndarray, centers: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
-
-    sim = jnp.dot(
-        jnp.asarray(descs), jnp.asarray(centers).T, preferred_element_type=jnp.float32
+    return np.asarray(
+        jnp.dot(jnp.asarray(a), jnp.asarray(b_t).T,
+                preferred_element_type=jnp.float32)
     )
-    return np.asarray(jnp.argmax(sim, axis=1))
 
 
-def build_bow_index(db, image_ids, num_words: int = 256, max_num_features: int = -1,
-                    seed: int = 0):
-    """Train vocabulary + compute TF-IDF vectors for all images."""
-    sample = []
-    per_image_descs = {}
+class VocabTree:
+    """Hierarchical k-means vocabulary (branching^depth leaf words).
+
+    levels[l] is an [branching**(l+1), D] array of unit-norm centers; node n
+    of level l has children n*B .. (n+1)*B-1 at level l+1. Leaf words are
+    the nodes of the last level.
+    """
+
+    def __init__(self, levels: list, branching: int):
+        self.levels = [np.asarray(c, np.float32) for c in levels]
+        self.branching = int(branching)
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels)
+
+    @property
+    def num_words(self) -> int:
+        return len(self.levels[-1])
+
+    # -- persistence (our own format; the reference's binary vocab files are
+    # CPU-FLANN trees and not loadable here) ------------------------------
+    def save(self, path) -> None:
+        np.savez_compressed(
+            path, branching=self.branching, depth=self.depth,
+            **{f"level_{i}": c for i, c in enumerate(self.levels)},
+        )
+
+    @classmethod
+    def load(cls, path) -> "VocabTree":
+        with np.load(path) as z:
+            depth = int(z["depth"])
+            levels = [z[f"level_{i}"] for i in range(depth)]
+            return cls(levels, int(z["branching"]))
+
+    # -- training ---------------------------------------------------------
+    @classmethod
+    def train(cls, descs: np.ndarray, branching: int = 8, depth: int = 4,
+              iters: int = 8, seed: int = 0) -> "VocabTree":
+        """Batched level-wise HKM.
+
+        All nodes of a level train their child k-means SIMULTANEOUSLY: one
+        [N, K_level] similarity matmul per iteration; each descriptor's
+        argmax is masked to the B children of its parent node (sims of other
+        blocks are suppressed), and center updates are one segment-sum.
+        """
+        descs = np.asarray(descs, np.float32)
+        N, D = descs.shape
+        rng = np.random.default_rng(seed)
+        parent = np.zeros(N, np.int64)  # node id at current level
+        levels = []
+        for lvl in range(depth):
+            K = branching ** (lvl + 1)
+            # seed children: per parent, random members (fall back to the
+            # parent-agnostic pool when a parent has too few members)
+            centers = np.empty((K, D), np.float32)
+            glob = rng.choice(N, size=min(N, K), replace=False)
+            centers[:] = descs[np.resize(glob, K)]
+            for p in range(branching ** lvl):
+                members = np.nonzero(parent == p)[0]
+                if len(members) == 0:
+                    continue
+                take = rng.choice(members, size=min(len(members), branching),
+                                  replace=False)
+                centers[p * branching:p * branching + len(take)] = descs[take]
+            centers = _unit_rows(centers)
+
+            child = None
+            for _ in range(iters):
+                sims = _device_matmul(descs, centers)  # [N, K]
+                # mask to the parent's sibling block
+                block = (np.arange(K)[None, :] // branching) == parent[:, None]
+                sims = np.where(block, sims, -np.inf)
+                child = np.argmax(sims, axis=1)
+                # center update: mean of members (segment sum)
+                sums = np.zeros((K, D), np.float64)
+                np.add.at(sums, child, descs)
+                counts = np.bincount(child, minlength=K).astype(np.float64)
+                nonempty = counts > 0
+                centers[nonempty] = _unit_rows(
+                    (sums[nonempty] / counts[nonempty, None]).astype(np.float32)
+                )
+            levels.append(centers)
+            parent = child
+        return cls(levels, branching)
+
+    # -- quantization -----------------------------------------------------
+    def quantize(self, descs: np.ndarray, num_neighbors: int = 1,
+                 num_checks: int = 256) -> np.ndarray:
+        """descs [N, D] -> word ids [N, num_neighbors] (repeat-padded).
+
+        Flat matmul top-k for vocabularies <= 16k words (exact; one MXU
+        contraction), beam descent bounded by num_checks above that.
+        """
+        descs = np.asarray(descs, np.float32)
+        if len(descs) == 0:
+            return np.zeros((0, num_neighbors), np.int32)
+        B = self.branching
+        nn = max(1, int(num_neighbors))
+        if self.num_words <= _FLAT_QUANT_MAX_WORDS:
+            sims = _device_matmul(descs, self.levels[-1])
+            if nn == 1:
+                return np.argmax(sims, axis=1).astype(np.int32)[:, None]
+            top = np.argsort(-sims, axis=1)[:, :nn]
+            return top.astype(np.int32)
+        # beam descent: W beams/descriptor -> W*B candidates/level
+        W = max(1, min(int(num_checks) // B, B ** (self.depth - 1)))
+        beams = None  # [N, W_cur]
+        for lvl, centers in enumerate(self.levels):
+            if beams is None:
+                cand = np.broadcast_to(
+                    np.arange(B, dtype=np.int64)[None, :], (len(descs), B)
+                )
+            else:
+                cand = (beams[:, :, None] * B
+                        + np.arange(B, dtype=np.int64)[None, None, :])
+                cand = cand.reshape(len(descs), -1)
+            sims = _einsum_rows(descs, self.levels[lvl], cand)
+            keep = W if lvl < self.depth - 1 else nn
+            keep = min(keep, cand.shape[1])
+            order = np.argsort(-sims, axis=1)[:, :keep]
+            beams = np.take_along_axis(cand, order, axis=1)
+        out = beams[:, :nn]
+        if out.shape[1] < nn:
+            out = np.repeat(out[:, :1], nn, axis=1)
+        return out.astype(np.int32)
+
+
+def _unit_rows(a: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(a, axis=1, keepdims=True)
+    return a / np.maximum(n, 1e-12)
+
+
+def _einsum_rows(descs, centers, cand):
+    """sim[n, j] = <descs[n], centers[cand[n, j]]> in row chunks (bounds the
+    [chunk, W*B, D] gather working set)."""
+    N, Wb = cand.shape
+    out = np.empty((N, Wb), np.float32)
+    step = max(1, (1 << 22) // max(Wb * descs.shape[1], 1))
+    for s in range(0, N, step):
+        e = min(N, s + step)
+        g = centers[cand[s:e]]  # [c, Wb, D]
+        out[s:e] = np.einsum("cd,cwd->cw", descs[s:e], g, optimize=True)
+    return out
+
+
+class InvertedIndex:
+    """Word -> (image, tf-idf weight) postings with cosine scoring.
+
+    Build with add_image() per image, then finalize(); query() touches only
+    the postings of the query's words (sub-linear in database size).
+    """
+
+    def __init__(self, num_words: int):
+        self.num_words = int(num_words)
+        self._image_words: list = []  # (image_id, unique word ids, counts)
+        self.image_ids: list = []
+        self._finalized = False
+
+    def add_image(self, image_id, words: np.ndarray) -> None:
+        words = np.asarray(words).reshape(-1)
+        uw, counts = np.unique(words, return_counts=True)
+        self._image_words.append((uw, counts))
+        self.image_ids.append(image_id)
+        self._finalized = False
+
+    def finalize(self) -> None:
+        M = len(self.image_ids)
+        df = np.zeros(self.num_words, np.float64)
+        for uw, _ in self._image_words:
+            df[uw] += 1.0
+        self.idf = np.log(max(M, 1) / np.maximum(df, 1.0)).astype(np.float32)
+        # per-image L2-normalized tf-idf entries, bucketed into word postings
+        post_w: list = []
+        post_img: list = []
+        post_val: list = []
+        self._self_norm = np.zeros(M, np.float32)
+        for row, (uw, counts) in enumerate(self._image_words):
+            if len(uw) == 0:
+                continue
+            v = counts.astype(np.float32) / counts.sum() * self.idf[uw]
+            n = float(np.linalg.norm(v))
+            if n > 1e-12:
+                v = v / n
+            post_w.append(uw)
+            post_img.append(np.full(len(uw), row, np.int32))
+            post_val.append(v)
+        if post_w:
+            w = np.concatenate(post_w)
+            order = np.argsort(w, kind="stable")
+            self._post_words = w[order]
+            self._post_imgs = np.concatenate(post_img)[order]
+            self._post_vals = np.concatenate(post_val)[order]
+            self._starts = np.searchsorted(
+                self._post_words, np.arange(self.num_words)
+            )
+            self._ends = np.searchsorted(
+                self._post_words, np.arange(self.num_words) + 1
+            )
+        else:
+            self._post_words = np.zeros(0, np.int64)
+            self._post_imgs = np.zeros(0, np.int32)
+            self._post_vals = np.zeros(0, np.float32)
+            self._starts = np.zeros(self.num_words, np.int64)
+            self._ends = np.zeros(self.num_words, np.int64)
+        self._finalized = True
+
+    def query_row(self, row: int, num_images: int):
+        """Rank database images against image `row` of the index."""
+        uw, counts = self._image_words[row]
+        return self._query(uw, counts, num_images, exclude_row=row)
+
+    def query(self, words: np.ndarray, num_images: int):
+        words = np.asarray(words).reshape(-1)
+        uw, counts = np.unique(words, return_counts=True)
+        return self._query(uw, counts, num_images, exclude_row=-1)
+
+    def _query(self, uw, counts, num_images, exclude_row):
+        if not self._finalized:
+            self.finalize()
+        if len(uw) == 0:
+            return []
+        q = counts.astype(np.float32) / counts.sum() * self.idf[uw]
+        n = float(np.linalg.norm(q))
+        if n > 1e-12:
+            q = q / n
+        scores = np.zeros(len(self.image_ids), np.float32)
+        # gather the postings of the query's words only
+        segs = [
+            (self._post_imgs[s:e], self._post_vals[s:e] * qi)
+            for s, e, qi in zip(self._starts[uw], self._ends[uw], q)
+            if e > s
+        ]
+        if not segs:
+            return []
+        imgs = np.concatenate([s[0] for s in segs])
+        vals = np.concatenate([s[1] for s in segs])
+        np.add.at(scores, imgs, vals)
+        if 0 <= exclude_row < len(scores):
+            scores[exclude_row] = -np.inf
+        touched = np.unique(imgs)
+        touched = touched[np.isfinite(scores[touched]) & (scores[touched] > 0)]
+        order = touched[np.argsort(-scores[touched])][:num_images]
+        return [(self.image_ids[r], float(scores[r])) for r in order]
+
+
+def build_visual_index(
+    db, image_ids, num_words: int = 4096, branching: int = 8,
+    max_num_features: int = -1, num_neighbors: int = 1,
+    num_checks: int = 256, vocab_tree_path: str = "", seed: int = 0,
+    train_sample_per_image: int = 512,
+):
+    """Train/load the vocab tree and index all images' descriptors.
+
+    Returns (tree, index) or (None, None) when the database has no
+    descriptors. num_words is rounded to the nearest branching power and
+    capped at ~sample_size/10: a vocabulary with nearly one word per
+    training descriptor over-segments (matching descriptors from different
+    views land in different words and retrieval scores collapse).
+    """
     rng = np.random.default_rng(seed)
+    per_image = {}
+    sample = []
     for iid in image_ids:
         d = _to_unit_float(db.read_descriptors(iid))
         if max_num_features > 0 and len(d) > max_num_features:
             d = d[rng.choice(len(d), max_num_features, replace=False)]
-        per_image_descs[iid] = d
+        per_image[iid] = d
         if len(d):
-            take = min(len(d), 512)
+            take = min(len(d), train_sample_per_image)
             sample.append(d[rng.choice(len(d), take, replace=False)])
     if not sample:
-        return None, {}
+        return None, None
     sample = np.concatenate(sample)
-    k = min(num_words, len(sample))
-    centers = _kmeans(sample, k, seed=seed)
+    eff_words = min(int(num_words), max(branching, len(sample) // 10))
+    depth = max(1, round(np.log(eff_words) / np.log(branching)))
 
-    # TF vectors
-    tf = {}
-    df = np.zeros(len(centers))
-    for iid, d in per_image_descs.items():
-        if len(d) == 0:
-            tf[iid] = np.zeros(len(centers), dtype=np.float32)
-            continue
-        words = _quantize(d, centers)
-        hist = np.bincount(words, minlength=len(centers)).astype(np.float32)
-        tf[iid] = hist / max(hist.sum(), 1)
-        df += hist > 0
-    idf = np.log(max(len(image_ids), 1) / np.maximum(df, 1))
-    vecs = {}
-    for iid, t in tf.items():
-        v = t * idf
-        n = np.linalg.norm(v)
-        vecs[iid] = v / n if n > 1e-12 else v
-    return centers, vecs
+    tree = None
+    if vocab_tree_path:
+        try:
+            tree = VocabTree.load(vocab_tree_path)
+        except (OSError, KeyError):
+            tree = None
+    if tree is None:
+        tree = VocabTree.train(
+            sample, branching=branching, depth=depth, seed=seed,
+        )
+        if vocab_tree_path:
+            try:
+                tree.save(vocab_tree_path)
+            except OSError:
+                pass
+
+    index = InvertedIndex(tree.num_words)
+    for iid in image_ids:
+        d = per_image[iid]
+        words = (
+            tree.quantize(d, num_neighbors=num_neighbors,
+                          num_checks=num_checks)
+            if len(d)
+            else np.zeros((0, 1), np.int32)
+        )
+        index.add_image(iid, words)
+    index.finalize()
+    return tree, index
 
 
 def retrieve_pairs(db, image_ids, num_images: int = 100,
-                   max_num_features: int = -1) -> list:
-    """Top-num_images most similar images per query -> pair list."""
-    _, vecs = build_bow_index(db, image_ids, max_num_features=max_num_features)
-    if not vecs:
-        return []
-    ids = [i for i in image_ids if i in vecs]
-    V = np.stack([vecs[i] for i in ids])
-    sim = V @ V.T
-    np.fill_diagonal(sim, -np.inf)
-    pairs = set()
-    for a in range(len(ids)):
-        order = np.argsort(-sim[a])[:num_images]
-        for b in order:
-            if np.isfinite(sim[a, b]):
-                pairs.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+                   max_num_features: int = -1, num_nearest_neighbors: int = 1,
+                   num_checks: int = 256, vocab_tree_path: str = "",
+                   num_words: int = 4096) -> list:
+    """Top-num_images most similar images per query -> sorted pair list."""
+    ranked = retrieve_ranked_pairs(
+        db, image_ids, num_images=num_images,
+        max_num_features=max_num_features,
+        num_nearest_neighbors=num_nearest_neighbors, num_checks=num_checks,
+        vocab_tree_path=vocab_tree_path, num_words=num_words,
+    )
+    pairs = {
+        (min(q, m), max(q, m)) for q, matches in ranked for m, _ in matches
+    }
     return sorted(pairs)
 
 
-def detect_loops(db, ordered_image_ids, period: int = 10, num_images: int = 50):
+def retrieve_ranked_pairs(
+    db, image_ids, num_images: int = 100, max_num_features: int = -1,
+    num_nearest_neighbors: int = 1, num_checks: int = 256,
+    vocab_tree_path: str = "", num_words: int = 4096,
+) -> list:
+    """Per-query ranked retrieval: [(query_id, [(match_id, score), ...])].
+
+    Order within each query is by descending tf-idf cosine score — the
+    pipelines use it to cap verification work per query
+    (num_images_after_verification semantics, ref match_features.h:177-214).
+    """
+    _, index = build_visual_index(
+        db, image_ids, num_words=num_words,
+        max_num_features=max_num_features,
+        num_neighbors=num_nearest_neighbors, num_checks=num_checks,
+        vocab_tree_path=vocab_tree_path,
+    )
+    if index is None:
+        return []
+    out = []
+    for row, iid in enumerate(index.image_ids):
+        out.append((iid, index.query_row(row, num_images)))
+    return out
+
+
+def detect_loops(db, ordered_image_ids, period: int = 10,
+                 num_images: int = 50, num_nearest_neighbors: int = 1,
+                 num_checks: int = 256, max_num_features: int = -1,
+                 vocab_tree_path: str = "", min_sequence_gap: int = 20):
     """Loop-closure candidates for sequential matching: every `period`-th
-    image queries the BoW index (ref: SequentialMatchingOptions loop_*)."""
-    _, vecs = build_bow_index(db, ordered_image_ids)
-    if not vecs:
+    image queries the inverted index; matches far apart in sequence order
+    are loop candidates (ref: SequentialMatchingOptions loop_detection_*).
+
+    Returns [(query_id, [(match_id, score), ...])] restricted to
+    far-apart-in-sequence matches, for the pipeline to match/verify.
+    """
+    ids = list(ordered_image_ids)
+    _, index = build_visual_index(
+        db, ids, max_num_features=max_num_features,
+        num_neighbors=num_nearest_neighbors, num_checks=num_checks,
+        vocab_tree_path=vocab_tree_path,
+    )
+    if index is None:
         return []
-    ids = [i for i in ordered_image_ids if i in vecs]
-    V = np.stack([vecs[i] for i in ids])
-    sim = V @ V.T
-    pairs = set()
     pos = {iid: k for k, iid in enumerate(ids)}
+    out = []
     for k in range(0, len(ids), max(period, 1)):
-        order = np.argsort(-sim[k])[: num_images + 1]
-        for b in order:
-            if b == k:
-                continue
-            # loops = far-apart in sequence order
-            if abs(b - k) > 20:
-                pairs.add((min(ids[k], ids[b]), max(ids[k], ids[b])))
-    return sorted(pairs)
+        ranked = index.query_row(k, num_images)
+        loops = [
+            (m, s) for m, s in ranked
+            if abs(pos[m] - k) > min_sequence_gap
+        ]
+        if loops:
+            out.append((ids[k], loops))
+    return out
+
+
+def build_bow_index(db, image_ids, num_words: int = 4096,
+                    max_num_features: int = -1, seed: int = 0):
+    """Back-compat shim: (leaf centers, {image_id: dense tf-idf vec})."""
+    tree, index = build_visual_index(
+        db, image_ids, num_words=num_words,
+        max_num_features=max_num_features, seed=seed,
+    )
+    if tree is None:
+        return None, {}
+    vecs = {}
+    for row, iid in enumerate(index.image_ids):
+        uw, counts = index._image_words[row]
+        v = np.zeros(tree.num_words, np.float32)
+        if len(uw):
+            t = counts.astype(np.float32) / counts.sum() * index.idf[uw]
+            n = np.linalg.norm(t)
+            v[uw] = t / n if n > 1e-12 else t
+        vecs[iid] = v
+    return tree.levels[-1], vecs

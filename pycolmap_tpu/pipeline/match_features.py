@@ -101,6 +101,140 @@ class _FeatureCache:
 _BATCH_VERIFY_SIZE = 16  # pairs verified per device program
 
 
+class _PairMatcher:
+    """Shared match+verify engine behind every pairing strategy.
+
+    Geometric verification runs pair-parallel: blocks of pairs are estimated
+    in one compiled program (estimators/batch_two_view.py, SURVEY §2c P1);
+    guided matching falls back to the per-pair path for the few pairs that
+    request it. ``run(pairs)`` returns per-pair pass/fail in order.
+    """
+
+    def __init__(self, db, matching_options, verification_options,
+                 verbose=False, db_out=None):
+        self.db = db
+        self.db_out = db_out if db_out is not None else db
+        self.matching_options = matching_options
+        self.verification_options = verification_options
+        self.verbose = verbose
+        self.cache = _FeatureCache(db)
+
+    def run(self, pairs) -> list:
+        """Match + verify `pairs`; returns [bool passed] aligned to pairs."""
+        from pycolmap_tpu.estimators.batch_two_view import verify_pairs_batch
+
+        mopt, vopt = self.matching_options, self.verification_options
+        results = {}
+        block = []  # (id1, id2, pair_data dict, d1, d2, kp1, kp2)
+
+        def flush():
+            if not block:
+                return
+            geoms = verify_pairs_batch([b[2] for b in block], vopt)
+            for (id1, id2, p, d1, d2, kp1, kp2), g in zip(block, geoms):
+                if mopt.guided_matching and g.config not in (
+                    int(TwoViewGeometryConfiguration.UNDEFINED),
+                    int(TwoViewGeometryConfiguration.DEGENERATE),
+                ):
+                    guided = match_guided(
+                        d1, d2, kp1[:, :2], kp2[:, :2], g, mopt,
+                        max_error=vopt.ransac.max_error,
+                    )
+                    if len(guided) > len(g.inlier_matches):
+                        g2 = estimate_calibrated_two_view_geometry(
+                            p["cam1"], kp1[:, :2], p["cam2"], kp2[:, :2],
+                            guided, vopt,
+                        )
+                        if len(g2.inlier_matches) > len(g.inlier_matches):
+                            g = g2
+                self.db_out.write_two_view_geometry(id1, id2, g)
+                results[(id1, id2)] = (
+                    len(g.inlier_matches) >= vopt.min_num_inliers
+                )
+                if self.verbose:
+                    print(
+                        f"pair ({id1}, {id2}): {len(p['matches'])} "
+                        f"matches, {len(g.inlier_matches)} inliers, "
+                        f"config {g.config}"
+                    )
+            block.clear()
+
+        pairs = list(pairs)
+        for image_id1, image_id2 in pairs:
+            kp1, d1 = self.cache.load(image_id1)
+            kp2, d2 = self.cache.load(image_id2)
+            matches = match_descriptors(d1, d2, mopt)
+            self.db_out.write_matches(image_id1, image_id2, matches)
+            if len(matches) < vopt.min_num_inliers:
+                results[(image_id1, image_id2)] = False
+                continue
+            block.append(
+                (
+                    image_id1, image_id2,
+                    {
+                        "x1_px": kp1[matches[:, 0], :2],
+                        "x2_px": kp2[matches[:, 1], :2],
+                        "cam1": self.cache.camera_of(image_id1),
+                        "cam2": self.cache.camera_of(image_id2),
+                        "matches": matches,
+                    },
+                    d1, d2, kp1, kp2,
+                )
+            )
+            if len(block) >= _BATCH_VERIFY_SIZE:
+                flush()
+        flush()
+        self.db_out.commit()
+        return [results.get(p, False) for p in pairs]
+
+    def run_ranked(self, ranked, cap_after_verification: int = 0) -> int:
+        """Retrieval-ranked matching: per query image, candidates are
+        verified in descending retrieval-score order; when
+        cap_after_verification > 0, a query stops submitting candidates
+        after that many PASS verification (num_images_after_verification
+        semantics, ref match_features.h:177-214 — the reference retrieves
+        num_images, spatially verifies, keeps the best subset; here
+        verification IS the spatial check, so capping per-query successes
+        reproduces the work bound). Pairs already processed under an earlier
+        query are not re-verified but count toward the cap.
+
+        ranked: [(query_id, [(match_id, score), ...])].
+        """
+        num_verified = 0
+        done: dict = {}
+        for query_id, cands in ranked:
+            passed = 0
+            todo = [
+                (min(query_id, m), max(query_id, m)) for m, _ in cands
+            ]
+            pos = 0
+            while pos < len(todo):
+                if cap_after_verification > 0 and passed >= cap_after_verification:
+                    break
+                # submit candidates in blocks; under a cap, never submit
+                # more than the successes still needed (each may pass)
+                limit = _BATCH_VERIFY_SIZE
+                if cap_after_verification > 0:
+                    limit = min(limit, cap_after_verification - passed)
+                chunk = []
+                while pos < len(todo) and len(chunk) < limit:
+                    key = todo[pos]
+                    pos += 1
+                    if key in done:
+                        passed += int(done[key])
+                        if (cap_after_verification > 0
+                                and passed >= cap_after_verification):
+                            break
+                    else:
+                        chunk.append(key)
+                if chunk:
+                    for key, ok in zip(chunk, self.run(chunk)):
+                        done[key] = ok
+                        passed += int(ok)
+                        num_verified += int(ok)
+        return num_verified
+
+
 def _match_and_verify_pairs(
     db: Database,
     pairs,
@@ -109,79 +243,10 @@ def _match_and_verify_pairs(
     verbose: bool = False,
     db_out: Database = None,
 ):
-    """The shared inner loop of every pairing strategy.
-
-    Geometric verification runs pair-parallel: blocks of pairs are estimated
-    in one compiled program (estimators/batch_two_view.py, SURVEY §2c P1);
-    guided matching falls back to the per-pair path for the few pairs that
-    request it.
-    """
-    from pycolmap_tpu.estimators.batch_two_view import verify_pairs_batch
-
-    if db_out is None:
-        db_out = db  # default: read features and write matches in one DB
-    cache = _FeatureCache(db)
-    num_verified = 0
-    block = []  # (id1, id2, pair_data dict, d1, d2, kp1, kp2)
-
-    def flush():
-        nonlocal num_verified
-        if not block:
-            return
-        geoms = verify_pairs_batch(
-            [b[2] for b in block], verification_options
-        )
-        for (image_id1, image_id2, p, d1, d2, kp1, kp2), g in zip(block, geoms):
-            if matching_options.guided_matching and g.config not in (
-                int(TwoViewGeometryConfiguration.UNDEFINED),
-                int(TwoViewGeometryConfiguration.DEGENERATE),
-            ):
-                guided = match_guided(
-                    d1, d2, kp1[:, :2], kp2[:, :2], g, matching_options,
-                    max_error=verification_options.ransac.max_error,
-                )
-                if len(guided) > len(g.inlier_matches):
-                    g2 = estimate_calibrated_two_view_geometry(
-                        p["cam1"], kp1[:, :2], p["cam2"], kp2[:, :2], guided,
-                        verification_options,
-                    )
-                    if len(g2.inlier_matches) > len(g.inlier_matches):
-                        g = g2
-            db_out.write_two_view_geometry(image_id1, image_id2, g)
-            if len(g.inlier_matches) >= verification_options.min_num_inliers:
-                num_verified += 1
-            if verbose:
-                print(
-                    f"pair ({image_id1}, {image_id2}): {len(p['matches'])} "
-                    f"matches, {len(g.inlier_matches)} inliers, config {g.config}"
-                )
-        block.clear()
-
-    for image_id1, image_id2 in pairs:
-        kp1, d1 = cache.load(image_id1)
-        kp2, d2 = cache.load(image_id2)
-        matches = match_descriptors(d1, d2, matching_options)
-        db_out.write_matches(image_id1, image_id2, matches)
-        if len(matches) < verification_options.min_num_inliers:
-            continue
-        block.append(
-            (
-                image_id1, image_id2,
-                {
-                    "x1_px": kp1[matches[:, 0], :2],
-                    "x2_px": kp2[matches[:, 1], :2],
-                    "cam1": cache.camera_of(image_id1),
-                    "cam2": cache.camera_of(image_id2),
-                    "matches": matches,
-                },
-                d1, d2, kp1, kp2,
-            )
-        )
-        if len(block) >= _BATCH_VERIFY_SIZE:
-            flush()
-    flush()
-    db_out.commit()
-    return num_verified
+    matcher = _PairMatcher(
+        db, matching_options, verification_options, verbose, db_out
+    )
+    return sum(matcher.run(pairs))
 
 
 def match_exhaustive(
@@ -252,20 +317,37 @@ def match_sequential(
                     q = i + (1 << k)
                     if q < n:
                         pairs.add((min(ids[i], ids[q]), max(ids[i], ids[q])))
-        num = _match_and_verify_pairs(
-            db, sorted(pairs), sift_options, verification_options, verbose
+        matcher = _PairMatcher(
+            db, sift_options, verification_options, verbose
         )
+        num = sum(matcher.run(sorted(pairs)))
         if matching_options.loop_detection:
             from pycolmap_tpu.features.retrieval import detect_loops
 
-            loop_pairs = detect_loops(
+            ranked = detect_loops(
                 db, ids,
                 period=matching_options.loop_detection_period,
                 num_images=matching_options.loop_detection_num_images,
+                num_nearest_neighbors=(
+                    matching_options.loop_detection_num_nearest_neighbors
+                ),
+                num_checks=matching_options.loop_detection_num_checks,
+                max_num_features=(
+                    matching_options.loop_detection_max_num_features
+                ),
+                vocab_tree_path=matching_options.vocab_tree_path,
             )
-            loop_pairs = [p for p in loop_pairs if p not in pairs]
-            num += _match_and_verify_pairs(
-                db, loop_pairs, sift_options, verification_options, verbose
+            # drop candidates already matched by the sequential window
+            ranked = [
+                (q, [(m, s) for m, s in cands
+                     if (min(q, m), max(q, m)) not in pairs])
+                for q, cands in ranked
+            ]
+            num += matcher.run_ranked(
+                ranked,
+                cap_after_verification=(
+                    matching_options.loop_detection_num_images_after_verification
+                ),
             )
         return num
     finally:
@@ -332,18 +414,45 @@ def match_vocabtree(
         matching_options = VocabTreeMatchingOptions()
     if verification_options is None:
         verification_options = TwoViewGeometryOptions()
-    from pycolmap_tpu.features.retrieval import retrieve_pairs
+    from pycolmap_tpu.features.retrieval import retrieve_ranked_pairs
 
     db = Database(database_path)
     try:
         ids = [im.image_id for im in db.read_all_images()]
-        pairs = retrieve_pairs(
+        if matching_options.match_list_path:
+            # explicit pair list file: "name1 name2" per line (ref
+            # VocabTreeMatchingOptions::match_list_path)
+            with open(matching_options.match_list_path) as f:
+                name_pairs = [ln.split() for ln in f if ln.strip()]
+            by_name = {
+                im.name: im.image_id for im in db.read_all_images()
+            }
+            pairs = sorted(
+                {
+                    (min(by_name[a], by_name[b]), max(by_name[a], by_name[b]))
+                    for a, b in name_pairs
+                    if a in by_name and b in by_name
+                }
+            )
+            return _match_and_verify_pairs(
+                db, pairs, sift_options, verification_options, verbose
+            )
+        ranked = retrieve_ranked_pairs(
             db, ids,
             num_images=matching_options.num_images,
             max_num_features=matching_options.max_num_features,
+            num_nearest_neighbors=matching_options.num_nearest_neighbors,
+            num_checks=matching_options.num_checks,
+            vocab_tree_path=matching_options.vocab_tree_path,
         )
-        return _match_and_verify_pairs(
-            db, pairs, sift_options, verification_options, verbose
+        matcher = _PairMatcher(
+            db, sift_options, verification_options, verbose
+        )
+        return matcher.run_ranked(
+            ranked,
+            cap_after_verification=(
+                matching_options.num_images_after_verification
+            ),
         )
     finally:
         db.close()

@@ -110,6 +110,54 @@ def _detect_watermark(x1_px, x2_px, inlier_mask, camera1, camera2, options):
     return np.mean(in_border1) > options.watermark_min_inlier_ratio
 
 
+def _estimate_multiple(single_fn, matches, options) -> TwoViewGeometry:
+    """MULTIPLE-configuration recovery (ref: two_view_geometry.h:67-77 and
+    upstream EstimateMultipleTwoViewGeometries): repeatedly estimate a
+    geometry on the remaining matches, peel its inliers off, and continue
+    while each new geometry clears min_num_inliers. More than one surviving
+    geometry -> config MULTIPLE with the union of inlier matches (the
+    scene has several independent rigid motions / planes); exactly one ->
+    that geometry; none -> DEGENERATE. Watermark geometries are peeled but
+    not collected when multiple_ignore_watermark is set."""
+    import copy
+
+    sub = copy.deepcopy(options)
+    sub.multiple_models = False
+    remaining = matches
+    geometries = []
+    while len(remaining) >= options.min_num_inliers:
+        g = single_fn(remaining, sub)
+        if len(g.inlier_matches) < options.min_num_inliers:
+            break
+        inl = {tuple(m) for m in g.inlier_matches.tolist()}
+        keep = np.array(
+            [tuple(m) not in inl for m in remaining.tolist()], dtype=bool
+        )
+        remaining = remaining[keep]
+        if (
+            g.config == int(TwoViewGeometryConfiguration.WATERMARK)
+            and options.multiple_ignore_watermark
+        ):
+            continue
+        geometries.append(g)
+    if not geometries:
+        out = TwoViewGeometry()
+        out.config = int(TwoViewGeometryConfiguration.DEGENERATE)
+        return out
+    if len(geometries) == 1:
+        return geometries[0]
+    out = TwoViewGeometry()
+    out.config = int(TwoViewGeometryConfiguration.MULTIPLE)
+    out.inlier_matches = np.concatenate(
+        [g.inlier_matches for g in geometries]
+    ).astype(np.uint32)
+    # keep the dominant geometry's models for downstream consumers
+    out.E, out.F, out.H = (
+        geometries[0].E, geometries[0].F, geometries[0].H
+    )
+    return out
+
+
 def estimate_calibrated_two_view_geometry(
     camera1, points2D1, camera2, points2D2, matches=None,
     options: TwoViewGeometryOptions = None,
@@ -126,6 +174,13 @@ def estimate_calibrated_two_view_geometry(
             [np.arange(len(points2D1)), np.arange(len(points2D1))], axis=1
         )
     matches = np.asarray(matches).reshape(-1, 2)
+    if options.multiple_models:
+        return _estimate_multiple(
+            lambda m, o: estimate_calibrated_two_view_geometry(
+                camera1, points2D1, camera2, points2D2, m, o
+            ),
+            matches, options,
+        )
     geometry = TwoViewGeometry()
     if len(matches) < options.min_num_inliers:
         geometry.config = int(TwoViewGeometryConfiguration.DEGENERATE)
@@ -202,6 +257,13 @@ def estimate_two_view_geometry(
             [np.arange(len(points2D1)), np.arange(len(points2D1))], axis=1
         )
     matches = np.asarray(matches).reshape(-1, 2)
+    if options.multiple_models:
+        return _estimate_multiple(
+            lambda m, o: estimate_two_view_geometry(
+                camera1, points2D1, camera2, points2D2, m, o
+            ),
+            matches, options,
+        )
     geometry = TwoViewGeometry()
     if len(matches) < options.min_num_inliers:
         geometry.config = int(TwoViewGeometryConfiguration.DEGENERATE)

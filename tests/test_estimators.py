@@ -246,3 +246,47 @@ class TestTwoViewGeometry:
             cam, np.zeros((5, 2)), cam, np.zeros((5, 2))
         )
         assert g.config == int(TwoViewGeometryConfiguration.DEGENERATE)
+
+    def test_multiple_models(self):
+        """Two independently-moving planes -> MULTIPLE config with inliers
+        from both motions (ref two_view_geometry.h:67-77)."""
+        from pycolmap_tpu.estimators.two_view_geometry import (
+            TwoViewGeometryOptions,
+        )
+
+        rng = np.random.default_rng(3)
+        cam = make_camera()
+        sets = []
+        for k, rel in enumerate(
+            [
+                Rigid3d(Rotation3d(np.array([0.02, 0.25, 0.0])),
+                        np.array([0.8, 0.0, 0.0])),
+                Rigid3d(Rotation3d(np.array([-0.3, -0.1, 0.2])),
+                        np.array([-0.5, 0.6, 0.3])),
+            ]
+        ):
+            X = np.concatenate(
+                [rng.uniform(-2, 2, (120, 2)), np.zeros((120, 1))], axis=1
+            ) + np.array([2.5 * k - 1, 0, 6.0])
+            x1 = cam.img_from_cam(X[:, :2] / X[:, 2:])
+            Xc2 = rel * X
+            x2 = cam.img_from_cam(Xc2[:, :2] / Xc2[:, 2:])
+            sets.append((x1, x2))
+        x1 = np.concatenate([s[0] for s in sets])
+        x2 = np.concatenate([s[1] for s in sets])
+        x1 += rng.normal(0, 0.3, x1.shape)
+        x2 += rng.normal(0, 0.3, x2.shape)
+        opts = TwoViewGeometryOptions()
+        opts.multiple_models = True
+        opts.detect_watermark = False
+        g = estimate_calibrated_two_view_geometry(
+            cam, x1, cam, x2, options=opts
+        )
+        assert g.config == int(TwoViewGeometryConfiguration.MULTIPLE)
+        assert len(g.inlier_matches) > 150  # both motions contribute
+        # single-model estimation on the same data keeps a single config
+        opts.multiple_models = False
+        g1 = estimate_calibrated_two_view_geometry(
+            cam, x1, cam, x2, options=opts
+        )
+        assert g1.config != int(TwoViewGeometryConfiguration.MULTIPLE)

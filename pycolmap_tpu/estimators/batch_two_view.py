@@ -30,12 +30,13 @@ from pycolmap_tpu.estimators.two_view_geometry import (
 from pycolmap_tpu.ops import solvers
 
 NUM_CHUNK = 1024  # hypotheses per model per pair
+NUM_E_SAMPLES = 128  # 5pt minimal samples per pair (each yields <= 10 E's)
 
 
-def _sample_idx(key, B, n, m, mask):
-    u = jax.random.uniform(key, (B, NUM_CHUNK, n)) + (1.0 - mask[:, None, :]) * 1e6
+def _sample_idx(key, B, n, m, mask, k=NUM_CHUNK):
+    u = jax.random.uniform(key, (B, k, n)) + (1.0 - mask[:, None, :]) * 1e6
     _, idx = jax.lax.top_k(-u, m)
-    return idx  # [B, K, m]
+    return idx  # [B, k, m]
 
 
 def _score(residuals, mask, thr_sq):
@@ -116,12 +117,21 @@ def _verify_block_kernel(
     F_inl = jnp.where(use_r[:, None], (rFr <= thr_px_sq) & (mask > 0), F_inl)
     F_ninl = jnp.maximum(niFr, F_ninl)
 
-    # --- E: 8pt-manifold hypotheses on normalized coords ----------------
-    idxE = _sample_idx(kE, B, N, 8, mask)
-    sE1 = per_pair_gather(x1_n, idxE)
+    # --- E: Nistér 5pt minimal hypotheses on normalized coords ----------
+    # (parity with the reference's LORANSAC minimal solver,
+    # estimators/essential_matrix.h:48-52; each 5pt sample yields up to 10
+    # essential matrices, invalid roots are masked out of scoring)
+    idxE = _sample_idx(kE, B, N, 5, mask, k=NUM_E_SAMPLES)
+    sE1 = per_pair_gather(x1_n, idxE)  # [B, K5, 5, 2]
     sE2 = per_pair_gather(x2_n, idxE)
-    E_h = solvers.essential_8pt(sE1, sE2)
+    E_h, E_valid = solvers.essential_5pt(
+        sE1.reshape(B * NUM_E_SAMPLES, 5, 2),
+        sE2.reshape(B * NUM_E_SAMPLES, 5, 2),
+    )
+    E_h = E_h.reshape(B, NUM_E_SAMPLES * 10, 3, 3)
+    E_valid = E_valid.reshape(B, NUM_E_SAMPLES * 10)
     rE = _sampson(E_h, x1_n, x2_n)
+    rE = jnp.where(E_valid[:, :, None], rE, jnp.inf)
     niE, capE = _score(rE, mask, thr_norm_sq)
     E_best, E_ninl, bE = _pick_best(niE, capE, E_h)
     rE_best = jnp.take_along_axis(rE, bE[:, None, None], axis=1)[:, 0]

@@ -123,6 +123,98 @@ def match_descriptors(
     return matches
 
 
+_batch_match_kernel = jax.jit(
+    jax.vmap(_match_kernel, in_axes=(0, 0, 0, 0, None, None, None)),
+    static_argnames=("cross_check",),
+)
+
+
+def match_descriptors_batch(pairs, options: SiftMatchingOptions = None):
+    """Match a BLOCK of descriptor pairs in one device program per shape
+    bucket (SURVEY §2c P1: per-pair calls pay 10-25 ms tunnel dispatch each).
+
+    pairs: list of (descriptors1, descriptors2). Returns a list of matches
+    [M, 2] uint32 aligned with the input. Pairs are grouped by pow2-padded
+    (N1, N2) buckets; each bucket is one batched call (two with
+    cross-check on the Pallas path).
+    """
+    from collections import defaultdict
+
+    from pycolmap_tpu.features import pallas_kernels as pk
+
+    if options is None:
+        options = SiftMatchingOptions()
+    out = [np.zeros((0, 2), dtype=np.uint32)] * len(pairs)
+    prepared = []
+    for i, (a, b) in enumerate(pairs):
+        d1 = _to_unit_float(a)
+        d2 = _to_unit_float(b)
+        if len(d1) == 0 or len(d2) == 0:
+            continue
+        n1p = max(256, 1 << (len(d1) - 1).bit_length())
+        n2p = max(256, 1 << (len(d2) - 1).bit_length())
+        prepared.append((i, d1, d2, n1p, n2p))
+    groups = defaultdict(list)
+    for item in prepared:
+        groups[(item[3], item[4])].append(item)
+
+    use_pk = pk.use_pallas()
+    for (n1p, n2p), items in groups.items():
+        B = len(items)
+        D1 = np.zeros((B, n1p, 128), np.float32)
+        D2 = np.zeros((B, n2p, 128), np.float32)
+        n1s = np.zeros(B, np.int32)
+        n2s = np.zeros(B, np.int32)
+        for k, (_i, d1, d2, _a, _b) in enumerate(items):
+            D1[k, : len(d1)] = d1
+            D2[k, : len(d2)] = d2
+            n1s[k] = len(d1)
+            n2s[k] = len(d2)
+        if use_pk:
+            best, second, idx = (
+                np.asarray(x)
+                for x in pk.pallas_top2_batch(
+                    jnp.asarray(D1), jnp.asarray(D2), jnp.asarray(n2s)
+                )
+            )
+            best_dist = np.arccos(np.clip(best, -1.0, 1.0))
+            second_dist = np.arccos(np.clip(second, -1.0, 1.0))
+            ok = (best > -1.5) & (best_dist <= options.max_distance)
+            ok &= best_dist <= options.max_ratio * second_dist
+            if options.cross_check:
+                _, _, rev_idx = (
+                    np.asarray(x)
+                    for x in pk.pallas_top2_batch(
+                        jnp.asarray(D2), jnp.asarray(D1), jnp.asarray(n1s)
+                    )
+                )
+                safe = np.clip(idx, 0, n2p - 1)
+                ok &= (
+                    np.take_along_axis(rev_idx, safe, axis=1)
+                    == np.arange(n1p)[None, :]
+                )
+            ok &= np.arange(n1p)[None, :] < n1s[:, None]
+            idx2_all = np.where(ok, idx, -1)
+        else:
+            idx2_all = np.asarray(
+                _batch_match_kernel(
+                    jnp.asarray(D1), jnp.asarray(D2),
+                    jnp.asarray(n1s), jnp.asarray(n2s),
+                    jnp.float32(options.max_ratio),
+                    jnp.float32(options.max_distance),
+                    options.cross_check,
+                )
+            )
+        for k, (i, d1, _d2, _a, _b) in enumerate(items):
+            idx2 = idx2_all[k, : len(d1)]
+            rows = np.nonzero(idx2 >= 0)[0]
+            matches = np.stack([rows, idx2[rows]], axis=1).astype(np.uint32)
+            if len(matches) > options.max_num_matches:
+                matches = matches[: options.max_num_matches]
+            out[i] = matches
+    return out
+
+
 def _to_unit_float(desc) -> np.ndarray:
     desc = np.asarray(desc)
     if desc.dtype == np.uint8:

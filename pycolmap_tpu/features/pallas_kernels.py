@@ -76,6 +76,12 @@ def pallas_top2(d1, d2, n2):
 
     Returns (best_sim [N1p], second_sim [N1p], best_idx [N1p]).
     """
+    return _pallas_top2_impl(d1, d2, jnp.asarray(n2, dtype=jnp.int32))
+
+
+def _pallas_top2_impl(d1, d2, n2):
+    """Unjitted core of pallas_top2 (shared by the single and vmapped
+    batch entry points; vmap adds a batch grid dimension)."""
     n1p = d1.shape[0]
     grid = (n1p // TM,)
     best, second, idx = pl.pallas_call(
@@ -98,8 +104,18 @@ def pallas_top2(d1, d2, n2):
             jax.ShapeDtypeStruct((n1p, 1), jnp.float32),
             jax.ShapeDtypeStruct((n1p, 1), jnp.int32),
         ],
-    )(d1, d2, jnp.asarray(n2, dtype=jnp.int32).reshape(1, 1))
+    )(d1, d2, n2.reshape(1, 1))
     return best[:, 0], second[:, 0], idx[:, 0]
+
+
+@jax.jit
+def pallas_top2_batch(d1, d2, n2):
+    """Batched fused matcher: d1 [B, N1p, D], d2 [B, N2p, D], n2 [B] int32.
+
+    One device program matches a whole block of image pairs (SURVEY §2c P1
+    pair-parallel dispatch: per-pair calls cost 10-25 ms tunnel latency
+    each; a block costs one)."""
+    return jax.vmap(_pallas_top2_impl)(d1, d2, n2)
 
 
 def use_pallas() -> bool:

@@ -50,19 +50,24 @@ def _sampler_kernel(ch0_ref, y0_ref, x0_ref, vol_ref, wy_ref, wx_ref,
                     out_ref, win, sem, *, win_y, win_x, bf16):
     kb = pl.program_id(0) * _KB
 
-    def dma(i):
+    def dma(i, c):
+        # both channels of a keypoint land side-by-side in one
+        # [win_y, 2*win_x] scratch plane so the Wy contraction is a SINGLE
+        # matmul over both (ROADMAP lever: the per-channel [S, win_x]
+        # matmuls waste MXU issue overhead; 2x width amortizes it)
         return pltpu.make_async_copy(
             vol_ref.at[
-                pl.ds(ch0_ref[kb + i], 2),
+                ch0_ref[kb + i] + c,
                 pl.ds(pl.multiple_of(y0_ref[kb + i], 8), win_y),
                 pl.ds(pl.multiple_of(x0_ref[kb + i], 128), win_x),
             ],
-            win.at[i],
-            sem.at[i],
+            win.at[i, :, pl.ds(c * win_x, win_x)],
+            sem.at[i, c],
         )
 
     for i in range(_KB):
-        dma(i).start()
+        dma(i, 0).start()
+        dma(i, 1).start()
 
     # tpu.iota is integer-only; cast the index ramps to f32 after
     rows = jax.lax.broadcasted_iota(jnp.int32, (_S, win_y), 1).astype(
@@ -74,15 +79,17 @@ def _sampler_kernel(ch0_ref, y0_ref, x0_ref, vol_ref, wy_ref, wx_ref,
     for i in range(_KB):
         Wy = jnp.maximum(0.0, 1.0 - jnp.abs(wy_ref[i][:, None] - rows))
         Wx = jnp.maximum(0.0, 1.0 - jnp.abs(wx_ref[i][:, None] - cols))
-        dma(i).wait()
+        dma(i, 0).wait()
+        dma(i, 1).wait()
+        src = win[i]
         if bf16:
-            # halve the MXU passes: tent weights lose ~3 decimal digits,
+            # halve the MXU passes: operands lose ~3 decimal digits,
             # well under the u8 descriptor quantization downstream
             Wy = Wy.astype(jnp.bfloat16)
-        for c in range(2):
-            src = win[i, c].astype(jnp.bfloat16) if bf16 else win[i, c]
-            M = jnp.dot(Wy, src, preferred_element_type=jnp.float32)
-            out_ref[i, c, :] = jnp.sum(M * Wx, axis=1)
+            src = src.astype(jnp.bfloat16)
+        M = jnp.dot(Wy, src, preferred_element_type=jnp.float32)
+        out_ref[i, 0, :] = jnp.sum(M[:, :win_x] * Wx, axis=1)
+        out_ref[i, 1, :] = jnp.sum(M[:, win_x:] * Wx, axis=1)
 
 
 @functools.partial(
@@ -103,8 +110,8 @@ def _sample_windows_pallas(vol, ch0, y0, x0, wy, wx, win_y, win_x,
         ],
         out_specs=pl.BlockSpec((_KB, 2, _S), lambda k, *_: (k, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_KB, 2, win_y, win_x), jnp.float32),
-            pltpu.SemaphoreType.DMA((_KB,)),
+            pltpu.VMEM((_KB, win_y, 2 * win_x), jnp.float32),
+            pltpu.SemaphoreType.DMA((_KB, 2)),
         ],
     )
     kernel = functools.partial(
@@ -162,9 +169,16 @@ def window_sizes(support_px: float):
 
 
 def _bf16_default() -> bool:
+    """bf16 matmul operands by default on TPU (halves MXU passes; ~3
+    decimal digits of tent/gradient precision, far under the u8 descriptor
+    quantization). CPU/interpret keeps f32 so the reference cross-checks
+    stay exact. PYCOLMAP_TPU_SIFT_SAMPLER_BF16 overrides either way."""
     import os
 
-    return os.environ.get("PYCOLMAP_TPU_SIFT_SAMPLER_BF16", "0") == "1"
+    v = os.environ.get("PYCOLMAP_TPU_SIFT_SAMPLER_BF16")
+    if v is not None:
+        return v == "1"
+    return _use_pallas()
 
 
 def sample_windows(vol, ch0, ys, xs, win_y, win_x, interpret=False,

@@ -29,6 +29,7 @@ from pycolmap_tpu.estimators.two_view_geometry import (
 from pycolmap_tpu.features.matcher import (
     SiftMatchingOptions,
     match_descriptors,
+    match_descriptors_batch,
     match_guided,
 )
 from pycolmap_tpu.scene import Database
@@ -99,6 +100,7 @@ class _FeatureCache:
 
 
 _BATCH_VERIFY_SIZE = 16  # pairs verified per device program
+_BATCH_MATCH_SIZE = 64  # pairs descriptor-matched per dispatch chunk
 
 
 class _PairMatcher:
@@ -160,29 +162,39 @@ class _PairMatcher:
             block.clear()
 
         pairs = list(pairs)
-        for image_id1, image_id2 in pairs:
-            kp1, d1 = self.cache.load(image_id1)
-            kp2, d2 = self.cache.load(image_id2)
-            matches = match_descriptors(d1, d2, mopt)
-            self.db_out.write_matches(image_id1, image_id2, matches)
-            if len(matches) < vopt.min_num_inliers:
-                results[(image_id1, image_id2)] = False
-                continue
-            block.append(
-                (
-                    image_id1, image_id2,
-                    {
-                        "x1_px": kp1[matches[:, 0], :2],
-                        "x2_px": kp2[matches[:, 1], :2],
-                        "cam1": self.cache.camera_of(image_id1),
-                        "cam2": self.cache.camera_of(image_id2),
-                        "matches": matches,
-                    },
-                    d1, d2, kp1, kp2,
-                )
+        # pair-parallel matching: descriptor matching for a whole chunk of
+        # pairs is one (or a few, per shape bucket) device dispatches
+        for s in range(0, len(pairs), _BATCH_MATCH_SIZE):
+            chunk = pairs[s:s + _BATCH_MATCH_SIZE]
+            feats = [
+                (self.cache.load(id1), self.cache.load(id2))
+                for id1, id2 in chunk
+            ]
+            matches_l = match_descriptors_batch(
+                [(f1[1], f2[1]) for f1, f2 in feats], mopt
             )
-            if len(block) >= _BATCH_VERIFY_SIZE:
-                flush()
+            for (image_id1, image_id2), ((kp1, d1), (kp2, d2)), matches in zip(
+                chunk, feats, matches_l
+            ):
+                self.db_out.write_matches(image_id1, image_id2, matches)
+                if len(matches) < vopt.min_num_inliers:
+                    results[(image_id1, image_id2)] = False
+                    continue
+                block.append(
+                    (
+                        image_id1, image_id2,
+                        {
+                            "x1_px": kp1[matches[:, 0], :2],
+                            "x2_px": kp2[matches[:, 1], :2],
+                            "cam1": self.cache.camera_of(image_id1),
+                            "cam2": self.cache.camera_of(image_id2),
+                            "matches": matches,
+                        },
+                        d1, d2, kp1, kp2,
+                    )
+                )
+                if len(block) >= _BATCH_VERIFY_SIZE:
+                    flush()
         flush()
         self.db_out.commit()
         return [results.get(p, False) for p in pairs]

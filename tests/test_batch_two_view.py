@@ -49,6 +49,35 @@ def test_batch_matches_per_pair():
         assert agree > 0.9
 
 
+def test_batch_5pt_recall_high_outliers():
+    """The Nistér-5pt hypothesis path keeps high inlier recall at 50%
+    outliers, where 8-point minimal samples (success p ~ 0.004 per draw)
+    degrade (VERDICT r2 item 7; ref essential_matrix.h:48-52)."""
+    options = TwoViewGeometryOptions()
+    pair_data = []
+    gts = []
+    for seed in range(3):
+        cam, x1, x2, rel, gt = synth_two_view(
+            n=200, outlier_ratio=0.5, seed=seed
+        )
+        matches = np.stack([np.arange(len(x1))] * 2, axis=1).astype(np.uint32)
+        pair_data.append(
+            {
+                "x1_px": x1, "x2_px": x2, "cam1": cam, "cam2": cam,
+                "matches": matches,
+            }
+        )
+        gts.append(gt)
+    batch = verify_pairs_batch(pair_data, options)
+    for g, gt in zip(batch, gts):
+        assert g.config == int(TwoViewGeometryConfiguration.CALIBRATED)
+        inl_idx = {m[0] for m in g.inlier_matches.tolist()}
+        true_inl = set(np.nonzero(gt)[0].tolist())
+        recall = len(inl_idx & true_inl) / len(true_inl)
+        precision = len(inl_idx & true_inl) / max(len(inl_idx), 1)
+        assert recall > 0.9 and precision > 0.9
+
+
 def test_batch_degenerate_pair():
     from pycolmap_tpu.scene import Camera
 

@@ -117,6 +117,26 @@ class TestMatcher:
         m = match_descriptors(base[None], d2)
         assert len(m) == 0
 
+    def test_batch_matches_single(self):
+        """match_descriptors_batch agrees with per-pair match_descriptors
+        across mixed sizes (shape-bucket grouping + padding masks)."""
+        from pycolmap_tpu.features.matcher import match_descriptors_batch
+
+        rng = np.random.default_rng(5)
+        pairs = []
+        for n1, n2 in [(50, 80), (300, 300), (40, 500), (80, 50), (0, 60)]:
+            d1 = rng.normal(size=(n1, 128)).astype(np.float32)
+            d2 = rng.normal(size=(n2, 128)).astype(np.float32)
+            # plant shared descriptors so real matches exist
+            k = min(n1, n2) // 2
+            if k:
+                d2[:k] = d1[:k] + rng.normal(0, 0.05, (k, 128))
+            pairs.append((d1, d2))
+        batch = match_descriptors_batch(pairs)
+        for (d1, d2), mb in zip(pairs, batch):
+            ms = match_descriptors(d1, d2)
+            assert np.array_equal(np.asarray(mb), np.asarray(ms))
+
     def test_cross_check(self):
         rng = np.random.default_rng(2)
         d1 = rng.normal(size=(30, 128)).astype(np.float32)

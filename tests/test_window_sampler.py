@@ -69,6 +69,24 @@ def test_sampler_channel_pairs():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), atol=2e-5)
 
 
+def test_sampler_bf16_close():
+    """bf16 packed-matmul path stays within quantization-irrelevant error
+    of the f32 reference (default on TPU; see _bf16_default)."""
+    rng = np.random.default_rng(7)
+    volp, ch0, ys, xs = _make_case(rng)
+    wins = ws.window_sizes(28.0)
+    out0, out1 = ws.sample_windows(
+        jnp.asarray(volp), jnp.asarray(ch0), jnp.asarray(ys), jnp.asarray(xs),
+        *wins, interpret=True, bf16=True,
+    )
+    ref0, ref1 = ws.sample_windows_reference(
+        jnp.asarray(volp), jnp.asarray(ch0), jnp.asarray(ys), jnp.asarray(xs)
+    )
+    # bf16 rel err ~0.4%; gradient magnitudes are O(1) here
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref0), atol=0.05)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), atol=0.05)
+
+
 def test_window_sizes_gating():
     assert ws.window_sizes(30.0) == (72, 256)
     wy, wx = ws.window_sizes(75.0)

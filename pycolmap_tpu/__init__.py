@@ -10,54 +10,13 @@ __version__ = "0.1.0"
 
 import os as _os
 
-
-def _machine_tag():
-    """Fingerprint of the host CPU feature set.
-
-    XLA:CPU cache entries are AOT machine code; loading an entry compiled on
-    a host with different CPU features SIGILLs/segfaults (observed
-    2026-08-19: cpu_aot_loader 'machine type ... doesn't match' then fatal
-    crashes). The persistent cache is therefore keyed per machine.
-    """
-    import hashlib
-    import platform
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    return platform.machine() or "unknown"
-
-
-def _enable_compilation_cache():
-    """Persist XLA executables across processes.
-
-    Pipeline stages run as separate invocations (extract -> match -> map,
-    like the reference CLI); without a disk cache every run re-pays each
-    kernel's compile (~0.5 s each through remote-compile backends).
-    """
-    cache_dir = _os.environ.get(
-        "PYCOLMAP_TPU_CACHE_DIR",
-        _os.path.expanduser("~/.cache/pycolmap_tpu_jax"),
-    )
-    if not cache_dir:
-        return
-    try:
-        import jax
-
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.path.join(cache_dir, _machine_tag()),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-    except Exception:
-        pass
-
-
-_enable_compilation_cache()
+# NOTE: jax's own persistent compilation cache is deliberately NOT enabled.
+# It stores XLA:CPU AOT machine code whose feature fingerprint follows the
+# COMPILING XLA's preferences (+prefer-no-scatter etc.), and loading an
+# entry whose fingerprint mismatches the host logs SIGILL hazards / crashes
+# (seen live 2026-08-21 and in MULTICHIP_r02); the remote TPU tunnel
+# bypasses it anyway. Cross-process executable persistence comes from
+# utils/aot_cache.py (jax serialize_executable, TPU-only) instead.
 
 from pycolmap_tpu.geometry import Rigid3d, Rotation3d, Sim3d
 from pycolmap_tpu.scene import (

@@ -87,7 +87,14 @@ def _sampler_kernel(ch0_ref, y0_ref, x0_ref, vol_ref, wy_ref, wx_ref,
             # well under the u8 descriptor quantization downstream
             Wy = Wy.astype(jnp.bfloat16)
             src = src.astype(jnp.bfloat16)
-        M = jnp.dot(Wy, src, preferred_element_type=jnp.float32)
+        # bf16=False must mean f32: at DEFAULT precision the MXU truncates
+        # f32 operands to bf16 anyway (caught by scripts/tpu_kernel_gate.py
+        # — compiled-vs-reference max err 9e-3 at "f32"), so the exact path
+        # needs an explicit HIGHEST, costing the extra MXU passes bf16 saves
+        M = jnp.dot(
+            Wy, src, preferred_element_type=jnp.float32,
+            precision=(None if bf16 else jax.lax.Precision.HIGHEST),
+        )
         out_ref[i, 0, :] = jnp.sum(M[:, :win_x] * Wx, axis=1)
         out_ref[i, 1, :] = jnp.sum(M[:, win_x:] * Wx, axis=1)
 

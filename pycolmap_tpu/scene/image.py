@@ -24,6 +24,8 @@ class Image:
         "cam_from_world",
         "cam_from_world_prior",
         "_xy",
+        "_xy_loader",
+        "_lazy_count",
         "_p3d_ids",
         "registered",
         "num_points3D",
@@ -64,8 +66,25 @@ class Image:
         self.num_points3D = 0
         self.link_epoch += 1
 
+    def set_lazy_keypoints(self, count: int, loader):
+        """Defer the keypoint-coordinate array: `loader()` is called on
+        first points2D_xy access (streaming DatabaseCache for large scenes
+        — ref analog pipeline/sfm.h:59-93 streaming DB load). The
+        point3D-link array is allocated immediately (registration
+        bookkeeping needs it before coordinates are ever read)."""
+        self._xy = None
+        self._xy_loader = loader
+        self._lazy_count = int(count)
+        self._p3d_ids = np.full(count, INVALID_POINT3D_ID, dtype=np.uint64)
+        self.num_points3D = 0
+        self.link_epoch += 1
+
     @property
     def points2D_xy(self) -> np.ndarray:
+        if self._xy is None and getattr(self, "_xy_loader", None) is not None:
+            xy = np.asarray(self._xy_loader(), dtype=np.float64)
+            self._xy = xy.reshape(-1, 2)[: self._lazy_count]
+            self._xy_loader = None
         return self._xy
 
     @property
@@ -90,6 +109,8 @@ class Image:
 
     @property
     def num_points2D(self) -> int:
+        if self._xy is None and getattr(self, "_xy_loader", None) is not None:
+            return self._lazy_count
         return len(self._xy)
 
     # -- 3D links -----------------------------------------------------------

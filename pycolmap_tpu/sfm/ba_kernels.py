@@ -535,6 +535,7 @@ def _scatter_cam(values, onehot_t, idx, num_segments):
 def _dense_schur_solve(
     buckets, J_l, Vinv_l, onehots_img, onehots_cam, rhs_pose, rhs_intr,
     lam, pose_free, intr_free, img2cam, I, C, NP, cg_iters,
+    eta=jnp.float32(0.1),
 ):
     """Materialize the reduced camera system S = U + damp - W Vinv W^T as a
     dense [D, D] matrix (D = 6*I + NP*C, NP = model param count) and solve S x = rhs by PCG.
@@ -699,8 +700,8 @@ def _dense_schur_solve(
             preferred_element_type=jnp.float32, precision=hi,
         )[:, 0]
 
-    def cg_body(carry, _):
-        x, r, p, rz = carry
+    def cg_body(carry):
+        x, r, p, rz, it = carry
         Ap = matvec(p)
         pAp = jnp.dot(p, Ap)
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
@@ -710,12 +711,18 @@ def _dense_schur_solve(
         rz_new = jnp.dot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
         p = z + beta * p
-        return (x, r, p, rz_new), None
+        return (x, r, p, rz_new, it + 1)
 
     z0 = precond(rhs)
-    (x, *_), _ = jax.lax.scan(
-        cg_body, (jnp.zeros_like(rhs), rhs, z0, jnp.dot(rhs, z0)),
-        None, length=cg_iters,
+    rz0 = jnp.dot(rhs, z0)
+
+    def cg_cond(carry):
+        *_, rz, it = carry
+        return jnp.logical_and(it < cg_iters, rz > eta * eta * rz0)
+
+    (x, *_) = jax.lax.while_loop(
+        cg_cond, cg_body,
+        (jnp.zeros_like(rhs), rhs, z0, rz0, jnp.int32(0)),
     )
     x_pose = x[: 6 * I].reshape(I, 6) * pose_free
     x_intr = x[6 * I:].reshape(C, NP) * intr_free
@@ -742,20 +749,25 @@ def _env_knobs():
         int(os.environ.get("PYCOLMAP_TPU_BA_PALLAS_MIN_SLOTS", 65536)),
         os.environ.get("PYCOLMAP_TPU_BA_CG_BF16", "1") != "0",
         None if d is None else int(d),
+        os.environ.get("PYCOLMAP_TPU_BA_ADAPTIVE_CG", "1") != "0",
     )
 
 
 def _lm_solve_bucketed(
     buckets, quat0, trans0, intr0, pose_free, intr_free, num_images,
     num_cameras, model_id, loss_type, loss_scale, cg_iters, max_iterations,
-    img2cam=None, knobs=None,
+    img2cam=None, knobs=None, eta=None,
 ):
     from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
     from pycolmap_tpu.sfm import cg_kernel as _ck
 
     if knobs is None:  # direct/profiling callers: resolve at trace time
         knobs = _env_knobs()
-    use_pallas_knob, min_slots, use_cg_bf16, dense_env = knobs
+    if eta is None:
+        eta = jnp.float32(0.1)
+    if len(knobs) == 4:  # older callers without the adaptive-CG element
+        knobs = knobs + (True,)
+    use_pallas_knob, min_slots, use_cg_bf16, dense_env, adaptive_cg = knobs
     I, C = num_images, num_cameras
     # NP-narrow intrinsics: the solver's loop state, gathers, Jacobians and
     # camera-side reductions all use the model's ACTUAL parameter count
@@ -1008,9 +1020,14 @@ def _lm_solve_bucketed(
                 )
             return out_pose * pose_free, out_intr * intr_free
 
-        # --- PCG ----------------------------------------------------------
-        def cg_body(carry, _):
-            x_pose, x_intr, r_pose, r_intr, p_pose, p_intr, rz = carry
+        # --- PCG with forcing sequence ------------------------------------
+        # (inexact Newton, Ceres Solver::Options::eta): stop when the
+        # preconditioned residual norm-squared r.z drops below eta^2 x its
+        # initial value; cg_iters is the cap. Early LM iterations (large
+        # lambda, fast-converging inner systems) typically stop in a few
+        # matvecs instead of burning the full budget.
+        def cg_body(carry):
+            x_pose, x_intr, r_pose, r_intr, p_pose, p_intr, rz, it = carry
             Ap_pose, Ap_intr = matvec(p_pose, p_intr)
             pAp = jnp.sum(p_pose * Ap_pose) + jnp.sum(p_intr * Ap_intr)
             alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
@@ -1023,17 +1040,26 @@ def _lm_solve_bucketed(
             beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
             p_pose = z_pose + beta * p_pose
             p_intr = z_intr + beta * p_intr
-            return (x_pose, x_intr, r_pose, r_intr, p_pose, p_intr, rz_new), None
+            return (x_pose, x_intr, r_pose, r_intr, p_pose, p_intr, rz_new,
+                    it + 1)
 
         z_pose, z_intr = precond(rhs_pose, rhs_intr)
         rz0 = jnp.sum(rhs_pose * z_pose) + jnp.sum(rhs_intr * z_intr)
-        (x_pose, x_intr, *_), _ = jax.lax.scan(
-            cg_body,
-            (jnp.zeros_like(rhs_pose), jnp.zeros_like(rhs_intr),
-             rhs_pose, rhs_intr, z_pose, z_intr, rz0),
-            None,
-            length=cg_iters,
-        )
+        cg_init = (jnp.zeros_like(rhs_pose), jnp.zeros_like(rhs_intr),
+                   rhs_pose, rhs_intr, z_pose, z_intr, rz0, jnp.int32(0))
+        if adaptive_cg:
+            def cg_cond(carry):
+                *_, rz, it = carry
+                return jnp.logical_and(it < cg_iters, rz > eta * eta * rz0)
+
+            (x_pose, x_intr, *_) = jax.lax.while_loop(
+                cg_cond, cg_body, cg_init
+            )
+        else:  # fixed trip count (PYCOLMAP_TPU_BA_ADAPTIVE_CG=0): scan
+            (x_pose, x_intr, *_), _ = jax.lax.scan(
+                lambda c, _: (cg_body(c), None), cg_init, None,
+                length=cg_iters,
+            )
         return _finish_step(
             quat, trans, intr, pts_list, lam, cost, it, done,
             x_pose, x_intr, J_l, Vinv_l, g_pt_l,
@@ -1169,7 +1195,7 @@ def _lm_solve_bucketed(
             x_pose, x_intr = _dense_schur_solve(
                 buckets, J_l, Vinv_l, onehots_img, onehots_cam,
                 rhs_pose, rhs_intr, lam, pose_free, intr_free, img2cam,
-                I, C, NP, max(cg_iters, 64),
+                I, C, NP, max(cg_iters, 64), eta=eta,
             )
             return _finish_step(
                 quat, trans, intr, pts_list, lam, cost, it, done,
@@ -1206,12 +1232,12 @@ def _lm_solve_bucketed(
 def _solve_bucketed_jit(
     buckets, quat0, trans0, intr0, pose_free, intr_free,
     num_images, num_cameras, model_id, loss_type, loss_scale,
-    cg_iters, max_iterations, img2cam=None, knobs=None,
+    cg_iters, max_iterations, img2cam=None, knobs=None, eta=None,
 ):
     return _lm_solve_bucketed(
         buckets, quat0, trans0, intr0, pose_free, intr_free,
         num_images, num_cameras, model_id, loss_type, loss_scale,
-        cg_iters, max_iterations, img2cam=img2cam, knobs=knobs,
+        cg_iters, max_iterations, img2cam=img2cam, knobs=knobs, eta=eta,
     )
 
 
@@ -1225,7 +1251,7 @@ def _solve_bucketed_jit(
 def _solve_bucketed_packed_jit(
     buckets, pts_all, quat0, trans0, intr0, pose_free, intr_free,
     npts, num_images, num_cameras, model_id, loss_type, loss_scale,
-    cg_iters, max_iterations, img2cam=None, knobs=None,
+    cg_iters, max_iterations, img2cam=None, knobs=None, eta=None,
 ):
     """Transfer-packed solver entry: bucket structure arrays arrive
     device-resident (see _bucketize_cached); the parameter-dependent point
@@ -1242,7 +1268,7 @@ def _solve_bucketed_packed_jit(
     quat, trans, intr, pts_list, cost0, cost, it = _lm_solve_bucketed(
         bl, quat0, trans0, intr0, pose_free, intr_free,
         num_images, num_cameras, model_id, loss_type, loss_scale,
-        cg_iters, max_iterations, img2cam=img2cam, knobs=knobs,
+        cg_iters, max_iterations, img2cam=img2cam, knobs=knobs, eta=eta,
     )
     return jnp.concatenate(
         [quat.reshape(-1), trans.reshape(-1), intr.reshape(-1)]
@@ -1410,6 +1436,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
         loss_type = int(options.loss_function_type)
         max_iters = int(options.max_num_iterations)
         loss_scale = jnp.float32(options.loss_function_scale)
+        eta = jnp.float32(getattr(options, "eta", 0.1))
         statics = (npts, I_pad, C_pad, problem.model_id, loss_type,
                    cg_iters, max_iters, knobs)
         # persistent executable cache: fresh processes re-pay each solver
@@ -1426,7 +1453,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
         if exe is not None:
             packed = exe(
                 buckets, pts_all, cam_quat, cam_trans, intrinsics,
-                pose_free, intr_free, loss_scale, img2cam=img2cam,
+                pose_free, intr_free, loss_scale, img2cam=img2cam, eta=eta,
             )
         else:
             packed = _solve_bucketed_packed_jit(
@@ -1435,7 +1462,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
                 pose_free, intr_free,
                 npts, I_pad, C_pad, problem.model_id, loss_type,
                 loss_scale, cg_iters, max_iters,
-                img2cam=img2cam, knobs=knobs,
+                img2cam=img2cam, knobs=knobs, eta=eta,
             )
             if aot_cache.enabled():
                 try:
@@ -1447,7 +1474,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
                             pose_free, intr_free,
                             npts, I_pad, C_pad, problem.model_id,
                             loss_type, loss_scale, cg_iters, max_iters,
-                            img2cam=img2cam, knobs=knobs,
+                            img2cam=img2cam, knobs=knobs, eta=eta,
                         ).compile(),  # in-memory hit: ~ms after the call
                     )
                 except Exception:
@@ -1471,6 +1498,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
             jnp.float32(options.loss_function_scale),
             cg_iters, int(options.max_num_iterations),
             img2cam=img2cam, knobs=knobs,
+            eta=jnp.float32(getattr(options, "eta", 0.1)),
         )
         # one batched D2H transfer for all results (per-array np.asarray
         # would cost a round-trip each)
@@ -1563,6 +1591,7 @@ def compile_solver_signature(npts, nts, I_pad, C_pad, model_id, loss_type,
         npts, I_pad, C_pad, model_id, loss_type,
         jnp.float32(1.0), cg_iters, max_iterations,
         img2cam=np.zeros(I_pad, np.int32), knobs=knobs,
+        eta=jnp.float32(0.1),
     ).compile()
     aot_cache.put("ba", sig, compiled)
 

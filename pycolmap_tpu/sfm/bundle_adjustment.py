@@ -60,6 +60,11 @@ class BundleAdjustmentOptions(BaseOptions):
     refine_extrinsics: bool = True
     max_num_iterations: int = 100
     max_linear_solver_iterations: int = 200
+    # forcing-sequence (inexact Newton) tolerance for the inner PCG solve:
+    # CG stops when the preconditioned residual norm drops below eta x its
+    # initial value, or at the iteration cap (Ceres Solver::Options::eta for
+    # ITERATIVE_SCHUR, reached via pipeline/sfm.h:266-295; Ceres default 0.1)
+    eta: float = 0.1
     function_tolerance: float = 0.0
     gradient_tolerance: float = 0.0
     parameter_tolerance: float = 0.0
@@ -198,7 +203,7 @@ def _seg_sum(vals, idx, num):
 
 
 def _lm_core(problem: BundleProblem, loss_type: int, loss_scale, cg_iters: int,
-             max_iterations: int):
+             max_iterations: int, eta=jnp.float32(0.1)):
     """Returns (quat, trans, intr, points, initial_cost, final_cost, iters)."""
     I, C, P, M = (
         problem.num_images,
@@ -328,11 +333,24 @@ def _lm_core(problem: BundleProblem, loss_type: int, loss_scale, cg_iters: int,
         x0_intr = jnp.zeros_like(rhs_intr)
         z_pose, z_intr = precond(rhs_pose, rhs_intr)
         rz0 = jnp.sum(rhs_pose * z_pose) + jnp.sum(rhs_intr * z_intr)
-        (x_pose, x_intr, *_), _ = jax.lax.scan(
-            cg_body,
-            (x0_pose, x0_intr, rhs_pose, rhs_intr, z_pose, z_intr, rz0),
-            None,
-            length=cg_iters,
+
+        # forcing sequence (inexact Newton): stop when the preconditioned
+        # residual norm-squared r.z falls below eta^2 x its initial value
+        # (Ceres Solver::Options::eta semantics); cg_iters is the cap
+        def cg_cond(carry):
+            *_, rz, it = carry
+            return jnp.logical_and(it < cg_iters, rz > eta * eta * rz0)
+
+        def cg_step(carry):
+            *state, it = carry
+            new_state, _ = cg_body(tuple(state), None)
+            return new_state + (it + 1,)
+
+        (x_pose, x_intr, *_) = jax.lax.while_loop(
+            cg_cond,
+            cg_step,
+            (x0_pose, x0_intr, rhs_pose, rhs_intr, z_pose, z_intr, rz0,
+             jnp.int32(0)),
         )
 
         # back-substitute point updates: dp = C^-1 (g_p - B^T dc)
@@ -394,13 +412,15 @@ def _solve_jit(
     obs_image_idx, obs_camera_idx, obs_point_idx, obs_xy, obs_mask,
     pose_free, intr_free, point_free,
     model_id, loss_type, loss_scale, cg_iters, max_iterations,
+    eta=jnp.float32(0.1),
 ):
     problem = BundleProblem(
         cam_quat, cam_trans, intrinsics, points, model_id,
         obs_image_idx, obs_camera_idx, obs_point_idx, obs_xy, obs_mask,
         pose_free, intr_free, point_free,
     )
-    return _lm_core(problem, loss_type, loss_scale, cg_iters, max_iterations)
+    return _lm_core(problem, loss_type, loss_scale, cg_iters, max_iterations,
+                    eta=eta)
 
 
 def solve_bundle(problem: BundleProblem, options: BundleAdjustmentOptions,

@@ -83,9 +83,19 @@ def _chunk_gather(table_ref, row, idx, T, n_chunks):
     return out
 
 
-def _tile_scatter(acc, vals, idx, T, n_chunks):
+def _tile_scatter(acc, vals, idx, T, n_chunks, precision="highest"):
     """acc[r, i] += sum_{t,p: idx[t,p]==i} vals[r][t, p] via per-(t, chunk)
-    one-hot dot_generals (one-hot built in registers from iota == idx)."""
+    one-hot dot_generals (one-hot built in registers from iota == idx).
+
+    precision: "highest" for gradient/Hessian reductions (default MXU
+    precision bf16-truncates the f32 values operand — same requirement as
+    the XLA twins _gather_mm/_scatter_cam in ba_kernels.py); the bf16-packed
+    CG matvec passes "default" instead — its values are products of a bf16 J
+    stream, so a HIGHEST (3-pass) scatter would burn MXU passes to preserve
+    precision the operands never had."""
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else None
+    )
     R = len(vals)
     for t in range(T):
         v_t = jnp.stack([vals[r][t] for r in range(R)])  # [R, 128]
@@ -97,14 +107,10 @@ def _tile_scatter(acc, vals, idx, T, n_chunks):
                 ) + c * _LANES
                 == idx_t[None, :]
             ).astype(jnp.float32)  # [128 (i), 128 (p)]
-            # precision=HIGHEST: default MXU precision bf16-truncates the f32
-            # values operand (the one-hot side is exact either way), which
-            # would corrupt gradient/Hessian reductions — same requirement as
-            # the XLA twins _gather_mm/_scatter_cam in ba_kernels.py.
             contrib = jax.lax.dot_general(
                 v_t, oh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )  # [R, 128 (i)]
             sl = pl.ds(c * _LANES, _LANES)
             acc[0:R, sl] = acc[0:R, sl] + contrib
@@ -264,8 +270,8 @@ def _make_matvec16_kernel(T, n_pt, n_ichunks, n_cchunks, NP):
         for k in range(nk):
             w = J[k] * d  # [2T, 128]
             vals.append(w[:T] + w[T:])
-        _tile_scatter(accp, vals[:6], ii, T, n_ichunks)
-        _tile_scatter(acci, vals[6:], ci, T, n_cchunks)
+        _tile_scatter(accp, vals[:6], ii, T, n_ichunks, precision="default")
+        _tile_scatter(acci, vals[6:], ci, T, n_cchunks, precision="default")
 
         @pl.when(pt == n_pt - 1)
         def _flush():

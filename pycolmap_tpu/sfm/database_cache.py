@@ -16,6 +16,21 @@ from pycolmap_tpu.scene import (
 )
 
 
+def _make_keypoint_loader(database_path, image_id):
+    """Per-image deferred keypoint fetch (fresh connection per call: the
+    loading Database handle is closed by the time lazy access happens, and
+    closures must survive deepcopy in setup_reconstruction)."""
+
+    def load():
+        db = Database(database_path)
+        try:
+            return db.read_keypoints(image_id)[:, :2]
+        finally:
+            db.close()
+
+    return load
+
+
 class DatabaseCache:
     def __init__(self):
         self.cameras = {}
@@ -25,12 +40,18 @@ class DatabaseCache:
         # two-view geometry (0 when the matcher did not store a pose)
         self.pair_rotation = {}
 
+    # above this many images, keypoint coordinate arrays stream from the DB
+    # on first access instead of being materialized at load (pipeline/sfm.h
+    # :59-93 streaming-DB-load analog; bounds load-time RSS at C4/C5 scale)
+    LAZY_KEYPOINTS_MIN_IMAGES = 200
+
     @staticmethod
     def load(
         database_path,
         min_num_matches: int = 15,
         ignore_watermarks: bool = False,
         image_names=None,
+        lazy_keypoints: bool | None = None,
     ) -> "DatabaseCache":
         from pycolmap_tpu.estimators.two_view_geometry import (
             TwoViewGeometryConfiguration as C,
@@ -42,13 +63,32 @@ class DatabaseCache:
             for cam in db.read_all_cameras():
                 cache.cameras[cam.camera_id] = cam
             select = set(image_names) if image_names else None
-            for img in db.read_all_images():
-                if select is not None and img.name not in select:
-                    continue
-                kps = db.read_keypoints(img.image_id)
-                img.set_keypoints(kps[:, :2])
+            all_images = [
+                img for img in db.read_all_images()
+                if select is None or img.name in select
+            ]
+            if lazy_keypoints is None:
+                lazy_keypoints = (
+                    len(all_images) >= DatabaseCache.LAZY_KEYPOINTS_MIN_IMAGES
+                )
+            counts = None
+            if lazy_keypoints:
+                counts = dict(
+                    db._conn.execute("SELECT image_id, rows FROM keypoints")
+                )
+            for img in all_images:
+                if lazy_keypoints:
+                    n = int(counts.get(img.image_id, 0) or 0)
+                    img.set_lazy_keypoints(
+                        n,
+                        _make_keypoint_loader(database_path, img.image_id),
+                    )
+                else:
+                    kps = db.read_keypoints(img.image_id)
+                    img.set_keypoints(kps[:, :2])
+                    n = len(kps)
                 cache.images[img.image_id] = img
-                cache.correspondence_graph.add_image(img.image_id, len(kps))
+                cache.correspondence_graph.add_image(img.image_id, n)
 
             rows = db._conn.execute(
                 "SELECT pair_id, rows, data, config, qvec FROM two_view_geometries"

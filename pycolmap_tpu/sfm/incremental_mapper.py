@@ -287,14 +287,27 @@ class IncrementalMapper:
                     ]
                 ),
             )
-        if len(angles) == 0 or np.median(angles) < min_angle:
-            # degenerate baseline: undo
+        ok = (
+            len(angles) > 0
+            and np.median(angles) >= min_angle
+            and rec.num_points3D >= options.init_min_num_inliers // 2
+        )
+        if not ok:
+            # degenerate baseline / too few seeds: undo COMPLETELY —
+            # including the cross-model registration counters, or the two
+            # images are permanently banned from later init attempts and a
+            # scene whose top-ranked pairs are all short-baseline can burn
+            # through every image without ever initializing (seen on the
+            # 16-image C2 arc: 7 adjacent pairs tried, 14 images banned,
+            # mapping dead)
             rec.deregister_image(image_id1)
             rec.deregister_image(image_id2)
+            self.num_total_registrations[image_id1] -= 1
+            self.num_total_registrations[image_id2] -= 1
             for pid in list(rec.points3D):
                 rec.delete_point3D(pid)
             return False
-        return rec.num_points3D >= options.init_min_num_inliers // 2
+        return True
 
     # -- vectorized correspondence lookups -----------------------------------
     def _linked_pids_for_image(self, image_id):

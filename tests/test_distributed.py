@@ -6,6 +6,9 @@ exercises exactly what N real hosts would do; SURVEY.md §4.5 fake-backend
 strategy).
 """
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -36,6 +39,68 @@ class TestPartitioning:
 
     def test_single_shard_identity(self):
         assert partition_pairs([(1, 2), (1, 3)], 1, 0) == [(1, 2), (1, 3)]
+
+
+@pytest.mark.slow
+def test_multiprocess_jax_distributed(tmp_path):
+    """REAL N-process run (SURVEY §4.5): two concurrent subprocesses join a
+    jax.distributed coordinator, psum over the global 4-device mesh, and
+    run the sharded extract/match protocol concurrently with
+    collective-barrier synchronization. Result must match a single-process
+    run over the same inputs."""
+    import socket
+    import subprocess
+    import sys
+
+    imgs = tmp_path / "images"
+    render_scene(imgs, num_images=4, W=320, H=240)
+    db = tmp_path / "db.db"
+    import_images(db, imgs)
+
+    # single-process reference on the same inputs
+    db_ref = tmp_path / "ref.db"
+    render_scene(imgs, num_images=4, W=320, H=240)  # idempotent
+    extract_features(db_ref, imgs)
+    match_exhaustive(db_ref)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(
+        PATH=os.environ.get("PATH", ""),
+        HOME=os.environ.get("HOME", "/root"),
+        PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+        JAX_PLATFORMS="cpu",
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                str(Path(__file__).resolve().parent / "distributed_worker.py"),
+                str(tmp_path), str(k), "2", str(port),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for k in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    for k in range(2):
+        assert (tmp_path / f"worker{k}.ok").exists()
+
+    merge_match_shards(db, [shard_database_path(db, k) for k in range(2)])
+    a, b = Database(db_ref), Database(db)
+    try:
+        assert a.num_keypoints == b.num_keypoints
+        assert a.num_matches == b.num_matches
+        assert a.num_verified_image_pairs == b.num_verified_image_pairs
+    finally:
+        a.close()
+        b.close()
 
 
 @pytest.mark.slow

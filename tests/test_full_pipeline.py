@@ -115,6 +115,66 @@ def render_scene(out_dir, num_images=6, W=512, H=384, seed=0):
 
 
 @pytest.mark.slow
+def test_c2_accuracy_gate(tmp_path):
+    """C2-style accuracy gate (VERDICT r2 item 10, ref alignment.h:115-143):
+    a larger rendered GT scene through the FULL pipeline (SIFT -> sequential
+    matching -> mapping), asserting absolute pose error against ground truth
+    via compare_reconstructions — so accuracy regressions fail CI, not just
+    throughput."""
+    from pycolmap_tpu.estimators import compare_reconstructions
+    from pycolmap_tpu.pipeline.match_features import (
+        SequentialMatchingOptions,
+        match_sequential,
+    )
+    from pycolmap_tpu.scene import Reconstruction
+
+    image_dir = tmp_path / "images"
+    n = 16
+    poses, cam = render_scene(image_dir, num_images=n, W=416, H=312)
+    db_path = tmp_path / "database.db"
+
+    sift_opts = SiftExtractionOptions()
+    sift_opts.max_num_features = 1500
+    extract_features(db_path, image_dir, sift_options=sift_opts)
+    seq = SequentialMatchingOptions()
+    seq.overlap = 5
+    match_sequential(db_path, matching_options=seq)
+
+    options = IncrementalPipelineOptions()
+    options.min_model_size = 6
+    options.extract_colors = False
+    options.min_num_matches = 15
+    options.mapper.init_min_num_inliers = 30
+    options.mapper.abs_pose_min_num_inliers = 15
+    options.mapper.init_min_tri_angle = 4.0
+    recs = incremental_mapping(db_path, image_dir, tmp_path / "sparse", options)
+    assert recs
+    rec = max(recs.values(), key=lambda r: r.num_reg_images)
+    assert rec.num_reg_images >= n - 2
+    assert rec.compute_mean_reprojection_error() < 1.5
+
+    gt = Reconstruction()
+    gt.add_camera(cam)
+    from pycolmap_tpu.scene import Image as SceneImage
+
+    for i, pose in enumerate(poses):
+        img = SceneImage(
+            id=i + 1, name=f"view{i:02d}.png", camera_id=cam.camera_id
+        )
+        img.cam_from_world = pose
+        img.registered = True
+        gt.add_image(img)
+    result = compare_reconstructions(rec, gt, alignment_error="proj_center")
+    assert result is not None
+    rots = [e.rotation_error_deg for e in result["errors"]]
+    ctrs = [e.proj_center_error for e in result["errors"]]
+    assert len(rots) >= n - 2
+    # scene scale ~6.5 world units camera distance; thresholds are ~0.5%
+    assert float(np.median(rots)) < 0.5
+    assert float(np.median(ctrs)) < 0.05
+
+
+@pytest.mark.slow
 def test_full_pipeline_from_images(tmp_path):
     image_dir = tmp_path / "images"
     poses, cam = render_scene(image_dir, num_images=6)

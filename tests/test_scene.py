@@ -244,3 +244,35 @@ class TestCorrespondenceGraph:
         t2 = g.find_transitive_correspondences(1, 0, 2)
         assert len(t2) == 2
         assert any(c.image_id == 3 for c in t2)
+
+
+class TestDatabaseCacheLazy:
+    def test_lazy_keypoints_parity(self, tmp_path):
+        """Streaming (lazy) DatabaseCache serves identical keypoints and
+        graph as the eager load (pipeline/sfm.h:59-93 streaming analog)."""
+        import sys
+
+        sys.path.insert(0, str(tmp_path.parent))
+        from test_pipeline_matchers import make_feature_db
+
+        from pycolmap_tpu.sfm.database_cache import DatabaseCache
+
+        db_path = tmp_path / "db.db"
+        make_feature_db(db_path, num_images=5)
+        from pycolmap_tpu.pipeline.match_features import match_sequential
+
+        match_sequential(db_path)
+        eager = DatabaseCache.load(db_path, lazy_keypoints=False)
+        lazy = DatabaseCache.load(db_path, lazy_keypoints=True)
+        assert set(eager.images) == set(lazy.images)
+        for iid in eager.images:
+            le = lazy.images[iid]
+            assert le._xy is None  # not yet materialized
+            assert le.num_points2D == eager.images[iid].num_points2D
+            np.testing.assert_array_equal(
+                le.points2D_xy, eager.images[iid].points2D_xy
+            )
+        assert (
+            lazy.correspondence_graph.image_pairs()
+            == eager.correspondence_graph.image_pairs()
+        )

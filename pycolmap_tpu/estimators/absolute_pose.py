@@ -76,6 +76,7 @@ _engine = BatchedLORANSAC(
     # one chunk covers the default min_num_trials=1000: registration then
     # costs a single device round trip instead of two
     chunk_size=1024,
+    name="p3p",
 )
 
 
@@ -151,8 +152,14 @@ def refine_pose_normalized(quat, trans, x_norm, X, inlier_mask, loss_scale=1.0):
     xp[:n] = x_norm
     Xp[:n] = X
     wp[:n] = np.asarray(inlier_mask, dtype=np.float32)
+    import sys as _sys
+
+    from pycolmap_tpu.utils import aot_cache
+
     q, t = jax.device_get(
-        _refine_pose_lm(
+        aot_cache.cached_call(
+            _refine_pose_lm, "pose_lm",
+            aot_cache.source_salt(_sys.modules[__name__]), {},
             np.asarray(quat, np.float32),
             np.asarray(trans, np.float32),
             xp, Xp, wp,

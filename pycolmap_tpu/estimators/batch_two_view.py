@@ -202,9 +202,15 @@ def verify_pairs_batch(
     # per-pair thresholds would need a [B] thr tensor — done via mean here)
     thr_norm_sq = float(np.mean(thr_norm) ** 2)
 
+    import sys as _sys
+
+    from pycolmap_tpu.utils import aot_cache
+
     (E, E_ninl, E_inl, F, F_ninl, F_inl, H, H_ninl, H_inl) = [
         np.asarray(a)
-        for a in _verify_block_kernel(
+        for a in aot_cache.cached_call(
+            _verify_block_kernel, "two_view_block",
+            aot_cache.source_salt(_sys.modules[__name__]), {},
             jax.random.PRNGKey(0),
             jnp.asarray(x1_px), jnp.asarray(x2_px),
             jnp.asarray(x1_n), jnp.asarray(x2_n), jnp.asarray(mask),

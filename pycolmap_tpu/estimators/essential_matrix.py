@@ -37,6 +37,7 @@ _engine = BatchedLORANSAC(
     sample_size=5,
     refit_solver=_refit_8pt,
     chunk_size=128,  # x10 solutions per sample = 1280 hypotheses per chunk
+    name="essential5pt",
 )
 
 _pose_from_essential_jit = jax.jit(epipolar.pose_from_essential)

@@ -43,6 +43,7 @@ _engine = BatchedLORANSAC(
     residual_fn=_sampson_batched,
     sample_size=7,
     refit_solver=_refit_8pt,
+    name="fundamental7pt",
 )
 
 

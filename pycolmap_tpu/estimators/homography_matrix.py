@@ -43,6 +43,7 @@ _engine = BatchedLORANSAC(
     residual_fn=_transfer_batched,
     sample_size=4,
     refit_solver=_refit_dlt,
+    name="homography4pt",
 )
 
 

@@ -122,6 +122,7 @@ class BatchedLORANSAC:
         refit_solver: Optional[Callable] = None,
         chunk_size: int = 512,
         num_lo_iterations: int = 2,
+        name: Optional[str] = None,
     ):
         self.minimal_solver = minimal_solver
         self.residual_fn = residual_fn
@@ -129,8 +130,31 @@ class BatchedLORANSAC:
         self.sample_size = sample_size
         self.chunk_size = chunk_size
         self.num_lo_iterations = num_lo_iterations
+        # estimators that give a stable name dispatch through the
+        # persistent executable cache: a fresh mapper process pays a remote
+        # compile per (estimator, padded-N) signature otherwise
+        self.name = name
         self._chunk_jit = jax.jit(self._run_chunk)
         self._refit_jit = jax.jit(self._run_refit) if refit_solver else None
+
+    def _dispatch(self, jf, tag, *args):
+        if self.name is None:
+            return jf(*args)
+        from pycolmap_tpu.utils import aot_cache
+
+        if not aot_cache.enabled():
+            return jf(*args)
+        import sys as _sys
+
+        from pycolmap_tpu.ops import epipolar as _ep
+        from pycolmap_tpu.ops import solvers as _sv
+
+        salt = aot_cache.source_salt(_sys.modules[__name__], _sv, _ep)
+        full_tag = (
+            f"ransac:{self.name}:{tag}:{self.sample_size}:"
+            f"{self.chunk_size}:{self.num_lo_iterations}"
+        )
+        return aot_cache.cached_call(jf, full_tag, salt, {}, *args)
 
     # -- device kernels ------------------------------------------------------
     def _score(self, residuals, max_error_sq):
@@ -254,7 +278,10 @@ class BatchedLORANSAC:
             key, sub = jax.random.split(key)
             # one round trip: fetch every chunk output together
             model, num_inl, capped, residuals = jax.device_get(
-                self._chunk_jit(sub, max_error_sq, valid_mask, *data)
+                self._dispatch(
+                    self._chunk_jit, "chunk", sub, max_error_sq, valid_mask,
+                    *data,
+                )
             )
             num_inl = int(num_inl)
             capped_f = float(capped)
@@ -282,7 +309,10 @@ class BatchedLORANSAC:
                 if weights.sum() < self.sample_size:
                     break
                 r_model, r_inl, r_capped, r_residuals = jax.device_get(
-                    self._refit_jit(weights, max_error_sq, valid_mask, *data)
+                    self._dispatch(
+                        self._refit_jit, "refit", weights, max_error_sq,
+                        valid_mask, *data,
+                    )
                 )
                 if (int(r_inl), -float(r_capped)) > (num_inl, -capped_f):
                     num_inl, capped_f = int(r_inl), float(r_capped)

@@ -102,6 +102,8 @@ def estimate_triangulation(
         sample_size=2,
         refit_solver=_refit,
         chunk_size=64,
+        # min_angle is baked into the traced closures -> part of the key
+        name=f"tri2view:{min_angle_rad:.6f}",
     )
     report = engine.estimate(options.ransac, x_norm, proj, fsq, centers, seed=0)
     if not report.success or report.support_num_inliers < 2:

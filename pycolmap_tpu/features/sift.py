@@ -711,6 +711,20 @@ def _extract_batch_jit(
     )
 
 
+def _cached_extract(jf, tag, arr, params):
+    """Dispatch an extraction jit through the persistent executable cache
+    (utils/aot_cache.py): the extractor's XLA program is the largest
+    non-BA compile a fresh pipeline process pays."""
+    import sys as _sys
+
+    from pycolmap_tpu.features import window_sampler as _ws
+    from pycolmap_tpu.utils import aot_cache
+
+    statics = dict(zip(_EXTRACT_STATICS, params))
+    salt = aot_cache.source_salt(_sys.modules[__name__], _ws)
+    return aot_cache.cached_call(jf, tag, salt, statics, arr)
+
+
 class Sift:
     """In-memory SIFT extractor (API parity: feature/sift.h class Sift)."""
 
@@ -776,7 +790,8 @@ class Sift:
         """
         img = self._to_gray_float(image)
         h, w = img.shape
-        out = _extract_jit(img, *self._static_params(h, w))
+        out = _cached_extract(_extract_jit, "sift1", img,
+                              self._static_params(h, w))
         kp_x, kp_y, kp_s, kp_t, descs, mask = jax.device_get(out)
         return self._postprocess(kp_x, kp_y, kp_s, kp_t, descs, mask)
 
@@ -794,7 +809,8 @@ class Sift:
             if g.shape != (h, w):
                 raise ValueError("extract_batch requires same-size images")
         stack = np.stack(grays)
-        out = _extract_batch_jit(stack, *self._static_params(h, w))
+        out = _cached_extract(_extract_batch_jit, "siftB", stack,
+                              self._static_params(h, w))
         kp_x, kp_y, kp_s, kp_t, descs, mask = jax.device_get(out)
         return [
             self._postprocess(

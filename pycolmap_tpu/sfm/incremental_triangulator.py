@@ -281,7 +281,14 @@ class IncrementalTriangulator:
                 x_norm[b, v] = self._norm_xy(iid, kidx)
                 view_mask[b, v] = 1.0
 
-        X, inlier, ok = _triangulate_batch(
+        import sys as _sys
+
+        from pycolmap_tpu.ops import solvers as _sv
+        from pycolmap_tpu.utils import aot_cache
+
+        X, inlier, ok = aot_cache.cached_call(
+            _triangulate_batch, "tri_batch",
+            aot_cache.source_salt(_sys.modules[__name__], _sv), {},
             jnp.asarray(proj), jnp.asarray(x_norm), jnp.asarray(centers),
             jnp.asarray(view_mask),
             jnp.float32(np.deg2rad(opts.create_max_angle_error)),

@@ -56,16 +56,31 @@ def run_ba(lm_iters: int):
     options.max_num_iterations = lm_iters
     options.function_tolerance = 0.0
 
-    # compile + warmup (2 LM iterations)
+    # compile + warmup (both iteration variants)
     options_warm = BundleAdjustmentOptions()
     options_warm.max_num_iterations = lm_iters
     _, s_warm = solve_bundle(problem, options_warm, cg_iters=CG_ITERS)
+    options_1 = BundleAdjustmentOptions()
+    options_1.max_num_iterations = 1
+    options_1.function_tolerance = 0.0
+    solve_bundle(problem, options_1, cg_iters=CG_ITERS)
 
     t0 = time.perf_counter()
     _, summary = solve_bundle(problem, options, cg_iters=CG_ITERS)
     dt = time.perf_counter() - t0
+    # marginal rate: subtract the per-SOLVE fixed cost (bucketize-cache
+    # hash, packed transfers, tunnel dispatch — ~180 ms of which most is
+    # remote-tunnel transfer/dispatch artifact), measured via a 1-iteration
+    # solve on perturbed input
+    t0 = time.perf_counter()
+    solve_bundle(
+        problem._replace(points=problem.points + 1e-6), options_1,
+        cg_iters=CG_ITERS,
+    )
+    dt1 = time.perf_counter() - t0
     iters = max(summary.num_iterations, 1)
-    return iters / dt, summary
+    marginal = (iters - 1) / max(dt - dt1, 1e-9) if iters > 1 else None
+    return iters / dt, marginal, summary
 
 
 def run_mapping():
@@ -108,11 +123,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        rate, _ = run_ba(lm_iters=3)
+        rate, _, _ = run_ba(lm_iters=3)
         print(json.dumps({"cpu_rate": rate}))
         return
 
-    rate, summary = run_ba(lm_iters=LM_ITERS)
+    rate, marginal, summary = run_ba(lm_iters=LM_ITERS)
 
     try:
         reg_per_sec, n_reg = run_mapping()
@@ -149,6 +164,9 @@ def main():
                 "value": round(rate, 3),
                 "unit": "iters/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "marginal_iters_per_sec": (
+                    round(marginal, 2) if marginal else None
+                ),
                 "registered_images_per_sec_30img_fresh": (
                     round(reg_per_sec, 3) if reg_per_sec else None
                 ),

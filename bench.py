@@ -65,21 +65,29 @@ def run_ba(lm_iters: int):
     options_1.function_tolerance = 0.0
     solve_bundle(problem, options_1, cg_iters=CG_ITERS)
 
-    t0 = time.perf_counter()
-    _, summary = solve_bundle(problem, options, cg_iters=CG_ITERS)
-    dt = time.perf_counter() - t0
+    # every timed solve gets a UNIQUE input: the remote tunnel serves
+    # content-identical (executable, input) pairs from a result cache,
+    # which would time the transfer instead of the solve
+    def timed(opts, eps):
+        p = problem._replace(points=problem.points + eps)
+        t0 = time.perf_counter()
+        _, s = solve_bundle(p, opts, cg_iters=CG_ITERS)
+        return time.perf_counter() - t0, s
+
+    dt, summary = min(
+        (timed(options, 2e-6), timed(options, 3e-6)), key=lambda x: x[0]
+    )
     # marginal rate: subtract the per-SOLVE fixed cost (bucketize-cache
     # hash, packed transfers, tunnel dispatch — ~180 ms of which most is
-    # remote-tunnel transfer/dispatch artifact), measured via a 1-iteration
-    # solve on perturbed input
-    t0 = time.perf_counter()
-    solve_bundle(
-        problem._replace(points=problem.points + 1e-6), options_1,
-        cg_iters=CG_ITERS,
-    )
-    dt1 = time.perf_counter() - t0
+    # remote-tunnel transfer/dispatch artifact), measured via 1-iteration
+    # solves on further-perturbed inputs
+    dt1 = min(timed(options_1, 4e-6)[0], timed(options_1, 5e-6)[0])
     iters = max(summary.num_iterations, 1)
-    marginal = (iters - 1) / max(dt - dt1, 1e-9) if iters > 1 else None
+    marginal = (
+        (iters - 1) / max(dt - dt1, 1e-9)
+        if iters > 1 and dt > dt1
+        else None
+    )
     return iters / dt, marginal, summary
 
 

@@ -105,6 +105,12 @@ from pycolmap_tpu.pipeline import (
     undistort_images,
     verify_matches,
 )
+from pycolmap_tpu.features.retrieval import (
+    InvertedIndex,
+    VocabTree,
+    build_visual_index,
+)
+from pycolmap_tpu.parallel.graph_partition import hierarchical_mapping
 from pycolmap_tpu.sfm.bundle_adjustment import (
     BundleAdjustmentOptions,
     LossFunctionType,

@@ -373,13 +373,23 @@ def _orientations(grad2, H, W, S, x, y, level_idx, scale_rel, mask,
     frac = bins - 0.5 - b0
     b0i = jnp.mod(b0.astype(jnp.int32), _ORI_BINS)
     b1i = jnp.mod(b0i + 1, _ORI_BINS)
+    # unrolled-bin reduction: per bin, one [K, G*G] masked sum on the VPU.
+    # The one-hot formulation materialized two [K, 256, 36] f32 tensors and
+    # contracted them as K tiny-batched gemms (~1% MXU utilization — the
+    # einsum pattern ARCHITECTURE.md warns about).
     flat_w0 = (wm * (1 - frac)).reshape(K, -1)
     flat_w1 = (wm * frac).reshape(K, -1)
-    onehot0 = jax.nn.one_hot(b0i.reshape(K, -1), _ORI_BINS, dtype=m.dtype)
-    onehot1 = jax.nn.one_hot(b1i.reshape(K, -1), _ORI_BINS, dtype=m.dtype)
-    hist = jnp.einsum("kg,kgb->kb", flat_w0, onehot0) + jnp.einsum(
-        "kg,kgb->kb", flat_w1, onehot1
-    )
+    b0f = b0i.reshape(K, -1)
+    b1f = b1i.reshape(K, -1)
+    hist = jnp.stack(
+        [
+            jnp.sum(
+                flat_w0 * (b0f == b) + flat_w1 * (b1f == b), axis=1
+            )
+            for b in range(_ORI_BINS)
+        ],
+        axis=1,
+    )  # [K, 36]
     # smooth histogram (6 passes of [1/3,1/3,1/3], as in VLFeat)
     for _ in range(6):
         hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0
@@ -562,14 +572,26 @@ def _descriptors(grad2, H, W, S, x, y, level_idx, scale_rel, theta,
     frac = obin - b0
     b0i = jnp.mod(b0.astype(jnp.int32), _DESC_ORI)
     b1i = jnp.mod(b0i + 1, _DESC_ORI)
-    o0 = jax.nn.one_hot(b0i.reshape(K, -1), _DESC_ORI, dtype=m.dtype) * (
-        (1 - frac).reshape(K, -1, 1)
-    )
-    o1 = jax.nn.one_hot(b1i.reshape(K, -1), _DESC_ORI, dtype=m.dtype) * (
-        frac.reshape(K, -1, 1)
-    )
-    ow = (o0 + o1) * m.reshape(K, -1, 1)  # [K, 256, 8]
-    desc = jnp.einsum("kso,st->kto", ow, jnp.asarray(_DESC_W))  # [K, 16, 8]
+    # per-orientation-bin masked weights, laid out [K, 8, S] so the spatial
+    # binning is ONE [K*8, S] x [S, 16] MXU matmul (the previous
+    # one-hot + "kso,st->kto" einsum materialized [K, 256, 8] one-hots and
+    # ran K tiny-batched gemms at ~1% MXU utilization)
+    m_f = m.reshape(K, -1)
+    w0_f = (1 - frac).reshape(K, -1) * m_f
+    w1_f = frac.reshape(K, -1) * m_f
+    b0f = b0i.reshape(K, -1)
+    b1f = b1i.reshape(K, -1)
+    ow_t = jnp.stack(
+        [
+            w0_f * (b0f == o) + w1_f * (b1f == o)
+            for o in range(_DESC_ORI)
+        ],
+        axis=1,
+    )  # [K, 8, S]
+    Sn = ow_t.shape[-1]
+    desc = (
+        ow_t.reshape(K * _DESC_ORI, Sn) @ jnp.asarray(_DESC_W)
+    ).reshape(K, _DESC_ORI, -1).transpose(0, 2, 1)  # [K, 16, 8]
     desc = desc.reshape(K, -1)
     # normalize: L2 -> clamp 0.2 -> renormalize
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)

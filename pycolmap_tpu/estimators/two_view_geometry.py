@@ -240,6 +240,10 @@ def estimate_calibrated_two_view_geometry(
         geometry.config = int(TwoViewGeometryConfiguration.WATERMARK)
 
     geometry.inlier_matches = matches[np.asarray(mask, dtype=bool)].astype(np.uint32)
+    if options.compute_relative_pose:
+        estimate_two_view_geometry_pose(
+            camera1, points2D1, camera2, points2D2, geometry
+        )
     return geometry
 
 
@@ -292,6 +296,10 @@ def estimate_two_view_geometry(
     ):
         geometry.config = int(TwoViewGeometryConfiguration.WATERMARK)
     geometry.inlier_matches = matches[np.asarray(mask, dtype=bool)].astype(np.uint32)
+    if options.compute_relative_pose:
+        estimate_two_view_geometry_pose(
+            camera1, points2D1, camera2, points2D2, geometry
+        )
     return geometry
 
 

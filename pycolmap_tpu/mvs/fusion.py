@@ -110,6 +110,7 @@ def stereo_fusion(
         X_w = np.einsum("ji,jhw->ihw", m.R, X_cam - m.t[:, None, None])
 
         num_consistent = np.zeros((H, W), dtype=np.int32)
+        cos_max_normal = np.cos(np.deg2rad(options.max_normal_error))
         for sid in m.src_ids[: options.check_num_images]:
             if sid not in depths:
                 continue
@@ -126,9 +127,39 @@ def stereo_fusion(
             d_src = np.zeros((H, W))
             d_src[ok] = depths[sid][vi[ok], ui[ok]]
             rel = np.abs(d_src - z) / np.maximum(z, 1e-9)
-            num_consistent += (
-                ok & (d_src > 0) & (rel < options.max_depth_error)
-            ).astype(np.int32)
+            consistent = ok & (d_src > 0) & (rel < options.max_depth_error)
+            # reprojection check (ref StereoFusionOptions::max_reproj_error):
+            # the source pixel's own 3D point must land within the
+            # threshold of the reference pixel it is supporting
+            if np.any(consistent):
+                uis = np.clip(ui, 0, ws - 1)
+                vis = np.clip(vi, 0, hs - 1)
+                rays_s = np.stack(
+                    [
+                        (uis + 0.5 - Ksrc[0, 2]) / Ksrc[0, 0],
+                        (vis + 0.5 - Ksrc[1, 2]) / Ksrc[1, 1],
+                        np.ones_like(u),
+                    ]
+                )
+                Xs_pt = rays_s * d_src[None]
+                Xw_s = np.einsum(
+                    "ji,jhw->ihw", s.R, Xs_pt - s.t[:, None, None]
+                )
+                Xr = np.einsum("ij,jhw->ihw", m.R, Xw_s) + m.t[:, None, None]
+                zr = np.maximum(Xr[2], 1e-9)
+                ur = K[0, 0] * Xr[0] / zr + K[0, 2]
+                vr = K[1, 1] * Xr[1] / zr + K[1, 2]
+                reproj = np.hypot(ur - (xx + 0.5), vr - (yy + 0.5))
+                consistent &= reproj < options.max_reproj_error
+                # normal agreement (ref max_normal_error), when both views
+                # carry normal maps (camera-frame -> world via R^T)
+                if normals.get(iid) is not None and normals.get(sid) is not None:
+                    n_ref_w = np.einsum("ji,hwj->hwi", m.R, normals[iid])
+                    n_src_cam = normals[sid][vis, uis]
+                    n_src_w = np.einsum("ji,hwj->hwi", s.R, n_src_cam)
+                    cosang = np.sum(n_ref_w * n_src_w, axis=-1)
+                    consistent &= cosang > cos_max_normal
+            num_consistent += consistent.astype(np.int32)
 
         keep = valid & (num_consistent >= min_consistent)
         if not keep.any():

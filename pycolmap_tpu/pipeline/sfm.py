@@ -271,7 +271,7 @@ def _reconstruct_model(mapper, cache, options, initial_callback=None,
             if init1 >= 0 and init2 >= 0:
                 break
         if not success:
-            return False
+            return False, False  # (kept, init_ok): no init pair left
         log.info(
             f"Initialized with image pair, {rec.num_points3D} seed points"
         )
@@ -340,7 +340,7 @@ def _reconstruct_model(mapper, cache, options, initial_callback=None,
             break
 
     _iterative_global_refinement(mapper, options)
-    return rec.num_reg_images >= 2
+    return rec.num_reg_images >= 2, True
 
 
 def incremental_mapping(
@@ -423,7 +423,7 @@ def incremental_mapping(
                     rec.write_binary(snap)
                     num_snapshot_state["count"] += 1
 
-        kept = _reconstruct_model(
+        kept, init_ok = _reconstruct_model(
             mapper, cache, options,
             initial_callback=initial_image_pair_callback,
             next_callback=_snapshot_cb,
@@ -433,8 +433,14 @@ def incremental_mapping(
         if not kept or total_reg < options.min_model_size:
             if len(manager) > 1 or not kept:
                 manager.delete(idx)
-            if not kept:
-                break
+            if not init_ok:
+                break  # no initialization pair left anywhere — done
+            # init succeeded but the model collapsed (e.g. a degenerate
+            # short-baseline seed whose focal ran away and was culled by
+            # filter_images, ref has_bogus_params) — try the NEXT init
+            # pair; find_initial_image_pair never repeats pairs, so this
+            # terminates (upstream retries likewise instead of aborting
+            # the whole reconstruction on the first bad seed)
             continue
         # stop if most images registered
         reg_total = {

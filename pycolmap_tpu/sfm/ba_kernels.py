@@ -535,8 +535,10 @@ def _scatter_cam(values, onehot_t, idx, num_segments):
 def _dense_schur_solve(
     buckets, J_l, Vinv_l, onehots_img, onehots_cam, rhs_pose, rhs_intr,
     lam, pose_free, intr_free, img2cam, I, C, NP, cg_iters,
-    eta=jnp.float32(0.1),
+    eta=None,
 ):
+    if eta is None:  # no jnp defaults: they init the backend at import
+        eta = jnp.float32(0.1)
     """Materialize the reduced camera system S = U + damp - W Vinv W^T as a
     dense [D, D] matrix (D = 6*I + NP*C, NP = model param count) and solve S x = rhs by PCG.
 

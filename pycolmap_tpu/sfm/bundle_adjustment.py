@@ -203,8 +203,14 @@ def _seg_sum(vals, idx, num):
 
 
 def _lm_core(problem: BundleProblem, loss_type: int, loss_scale, cg_iters: int,
-             max_iterations: int, eta=jnp.float32(0.1)):
+             max_iterations: int, eta=None):
     """Returns (quat, trans, intr, points, initial_cost, final_cost, iters)."""
+    if eta is None:
+        # NOTE: must not be a jnp default argument — that would build a
+        # device array at module import, initializing the XLA backend
+        # before jax.distributed.initialize() can run (broke the
+        # multi-process harness)
+        eta = jnp.float32(0.1)
     I, C, P, M = (
         problem.num_images,
         problem.num_cameras,
@@ -412,7 +418,7 @@ def _solve_jit(
     obs_image_idx, obs_camera_idx, obs_point_idx, obs_xy, obs_mask,
     pose_free, intr_free, point_free,
     model_id, loss_type, loss_scale, cg_iters, max_iterations,
-    eta=jnp.float32(0.1),
+    eta=None,
 ):
     problem = BundleProblem(
         cam_quat, cam_trans, intrinsics, points, model_id,

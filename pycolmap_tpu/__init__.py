@@ -110,6 +110,11 @@ from pycolmap_tpu.features.retrieval import (
     VocabTree,
     build_visual_index,
 )
+from pycolmap_tpu.parallel.device_ctx import (
+    get_default_mesh,
+    resolve_mesh,
+    set_default_mesh,
+)
 from pycolmap_tpu.parallel.graph_partition import hierarchical_mapping
 from pycolmap_tpu.sfm.bundle_adjustment import (
     BundleAdjustmentOptions,

@@ -159,7 +159,7 @@ def refine_pose_normalized(quat, trans, x_norm, X, inlier_mask, loss_scale=1.0):
     q, t = jax.device_get(
         aot_cache.cached_call(
             _refine_pose_lm, "pose_lm",
-            aot_cache.source_salt(_sys.modules[__name__]), {},
+            aot_cache.source_salt(_sys.modules[__name__], qops), {},
             np.asarray(quat, np.float32),
             np.asarray(trans, np.float32),
             xp, Xp, wp,

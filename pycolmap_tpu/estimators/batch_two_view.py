@@ -204,13 +204,15 @@ def verify_pairs_batch(
 
     import sys as _sys
 
+    from pycolmap_tpu.ops import epipolar as _ep
+    from pycolmap_tpu.ops import solvers as _sv
     from pycolmap_tpu.utils import aot_cache
 
     (E, E_ninl, E_inl, F, F_ninl, F_inl, H, H_ninl, H_inl) = [
         np.asarray(a)
         for a in aot_cache.cached_call(
             _verify_block_kernel, "two_view_block",
-            aot_cache.source_salt(_sys.modules[__name__]), {},
+            aot_cache.source_salt(_sys.modules[__name__], _sv, _ep), {},
             jax.random.PRNGKey(0),
             jnp.asarray(x1_px), jnp.asarray(x2_px),
             jnp.asarray(x1_n), jnp.asarray(x2_n), jnp.asarray(mask),

@@ -29,6 +29,7 @@ Stewénius "Scalable Recognition with a Vocabulary Tree"):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -71,10 +72,24 @@ class VocabTree:
     # -- persistence (our own format; the reference's binary vocab files are
     # CPU-FLANN trees and not loadable here) ------------------------------
     def save(self, path) -> None:
-        np.savez_compressed(
-            path, branching=self.branching, depth=self.depth,
-            **{f"level_{i}": c for i, c in enumerate(self.levels)},
-        )
+        # atomic: a process killed mid-save must not leave a truncated npz
+        # that poisons the next run's load
+        path = str(path)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            np.savez_compressed(
+                tmp, branching=self.branching, depth=self.depth,
+                **{f"level_{i}": c for i, c in enumerate(self.levels)},
+            )
+            src = tmp if os.path.exists(tmp) else tmp + ".npz"
+            os.replace(src, path)
+        finally:
+            for leftover in (tmp, tmp + ".npz"):
+                if os.path.exists(leftover):
+                    try:
+                        os.remove(leftover)
+                    except OSError:
+                        pass
 
     @classmethod
     def load(cls, path) -> "VocabTree":
@@ -323,14 +338,19 @@ def build_visual_index(
         return None, None
     sample = np.concatenate(sample)
     eff_words = min(int(num_words), max(branching, len(sample) // 10))
-    depth = max(1, round(np.log(eff_words) / np.log(branching)))
+    # deepest level with branching**depth <= 2*eff_words: plain round() can
+    # overshoot the over-segmentation cap by nearly branching× (ADVICE r3:
+    # eff=200, b=8 -> 512 words = sample/4), while a hard floor can
+    # undershoot by branching× and collapse discrimination; a bounded 2×
+    # overshoot keeps both failure modes in check
+    depth = max(1, int(np.log(2 * eff_words) / np.log(branching) + 1e-9))
 
     tree = None
     if vocab_tree_path:
         try:
             tree = VocabTree.load(vocab_tree_path)
-        except (OSError, KeyError):
-            tree = None
+        except Exception:
+            tree = None  # unreadable/truncated tree -> retrain
     if tree is None:
         tree = VocabTree.train(
             sample, branching=branching, depth=depth, seed=seed,

@@ -24,6 +24,7 @@ This module provides the TPU-native equivalents:
 
 from __future__ import annotations
 
+import heapq
 from collections import defaultdict
 
 import numpy as np
@@ -91,24 +92,38 @@ def partition_images(pair_counts: dict, image_ids, num_parts: int):
         for n, w in adj[s].items():
             conn[k][n] += w
 
-    unassigned = [i for i in image_ids if i not in assign]
-    while unassigned:
-        # pick the (image, part) pair with max connection among open parts
-        open_parts = [k for k in range(num_parts) if len(parts[k]) < cap]
-        best = None
-        for i in unassigned:
-            for k in open_parts:
-                c = conn[k].get(i, 0)
-                key = (c, -len(parts[k]), -i, -k)
-                if best is None or key > best[0]:
-                    best = (key, i, k)
-        _, i, k = best
+    # lazy-deletion heap of (-connection, image, part) candidates: O(E log E)
+    # instead of rescanning every (unassigned, part) pair per assignment
+    # (O(N^2 * parts) pure Python — minutes of host time at C5 scale)
+    unassigned = {i for i in image_ids if i not in assign}
+    heap = []
+    for k in range(num_parts):
+        for n, w in conn[k].items():
+            if n in unassigned:
+                heap.append((-w, n, k))
+    heapq.heapify(heap)
+    while unassigned and heap:
+        negc, i, k = heapq.heappop(heap)
+        if i not in unassigned or len(parts[k]) >= cap:
+            continue
+        if -negc != conn[k].get(i, 0):
+            continue  # stale entry; the fresh value has its own entry
         assign[i] = k
         parts[k].append(i)
-        unassigned.remove(i)
+        unassigned.discard(i)
         for n, w in adj[i].items():
             if n not in assign:
                 conn[k][n] += w
+                heapq.heappush(heap, (-conn[k][n], n, k))
+    # leftovers: disconnected images, or images whose connected parts all
+    # filled up — spread over the least-loaded open parts
+    for i in sorted(unassigned):
+        k = min(
+            (k for k in range(num_parts) if len(parts[k]) < cap),
+            key=lambda k: (len(parts[k]), k),
+        )
+        assign[i] = k
+        parts[k].append(i)
     return [sorted(p) for p in parts]
 
 

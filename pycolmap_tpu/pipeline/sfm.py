@@ -72,6 +72,12 @@ class IncrementalPipelineOptions(BaseOptions):
     snapshot_images_freq: int = 0
     image_names: list = None
     fix_existing_images: bool = False
+    # device mesh used by every BA solve in the pipeline: "auto" (default
+    # mesh / all local devices on multi-chip hardware), "none", an int
+    # device count, or a jax.sharding.Mesh (see parallel/device_ctx.py).
+    # TPU-native analog of the reference num_threads/gpu_index options
+    # (ref: pipeline/sfm.h:294, match_features.h:76-81)
+    devices: object = "auto"
     mapper: IncrementalMapperOptions = None
     triangulation: IncrementalTriangulatorOptions = None
 
@@ -102,6 +108,7 @@ class IncrementalPipelineOptions(BaseOptions):
         ba.refine_extra_params = self.ba_refine_extra_params
         ba.max_num_iterations = self.ba_local_max_num_iterations
         ba.print_summary = False
+        ba.devices = self.devices
         return ba
 
     def get_global_ba(self) -> BundleAdjustmentOptions:
@@ -112,6 +119,7 @@ class IncrementalPipelineOptions(BaseOptions):
         ba.refine_extra_params = self.ba_refine_extra_params
         ba.max_num_iterations = self.ba_global_max_num_iterations
         ba.print_summary = False
+        ba.devices = self.devices
         return ba
 
 

@@ -1446,11 +1446,13 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
         # without it — see utils/aot_cache.py
         import sys
 
+        from pycolmap_tpu.ops import ba_math as _bam
+        from pycolmap_tpu.ops import camera_models as _cmm
         from pycolmap_tpu.sfm import cg_kernel as _ckm
         from pycolmap_tpu.utils import aot_cache
 
         sig = ("packed", nts, statics,
-               aot_cache.source_salt(sys.modules[__name__], _ckm))
+               aot_cache.source_salt(sys.modules[__name__], _ckm, _bam, _cmm))
         exe = aot_cache.get("ba", sig)
         if exe is not None:
             packed = exe(
@@ -1559,6 +1561,8 @@ def compile_solver_signature(npts, nts, I_pad, C_pad, model_id, loss_type,
     competing with critical-path work through the serialized tunnel)."""
     import sys
 
+    from pycolmap_tpu.ops import ba_math as _bam
+    from pycolmap_tpu.ops import camera_models as _cmm
     from pycolmap_tpu.sfm import cg_kernel as _ckm
     from pycolmap_tpu.utils import aot_cache
 
@@ -1567,7 +1571,7 @@ def compile_solver_signature(npts, nts, I_pad, C_pad, model_id, loss_type,
     statics = (npts, I_pad, C_pad, model_id, loss_type, cg_iters,
                max_iterations, knobs)
     sig = ("packed", tuple(nts), statics,
-           aot_cache.source_salt(sys.modules[__name__], _ckm))
+           aot_cache.source_salt(sys.modules[__name__], _ckm, _bam, _cmm))
     if aot_cache.get("ba", sig) is not None:
         return  # already on disk (or warm in this process)
     buckets = tuple(

@@ -70,6 +70,11 @@ class BundleAdjustmentOptions(BaseOptions):
     parameter_tolerance: float = 0.0
     min_num_residuals_for_multi_threading: int = 50000
     print_summary: bool = True
+    # device mesh for the solve: "auto" (default mesh / all local devices on
+    # multi-chip hardware), "none", an int device count, or a Mesh object.
+    # TPU-native analog of the reference's Ceres num_threads
+    # (ref: pipeline/sfm.h:294); see parallel/device_ctx.py
+    devices: object = "auto"
 
 
 class BundleProblem(NamedTuple):
@@ -436,9 +441,18 @@ def solve_bundle(problem: BundleProblem, options: BundleAdjustmentOptions,
     Dispatches to the bucketed component-first kernels (sfm/ba_kernels.py),
     which are layout-optimized for TPU; :func:`solve_bundle_reference` keeps
     the straightforward flat-layout implementation for cross-checking.
+
+    mesh: explicit jax.sharding.Mesh, or None to resolve one from
+    ``options.devices`` ("auto" = all local devices on multi-chip hardware,
+    see parallel/device_ctx.py) — this is how the public pipeline runs
+    distributed without threading jax objects through every call.
     """
     from pycolmap_tpu.sfm.ba_kernels import solve_bundle_fast
 
+    if mesh is None:
+        from pycolmap_tpu.parallel.device_ctx import resolve_mesh
+
+        mesh = resolve_mesh(getattr(options, "devices", "auto"))
     return solve_bundle_fast(problem, options, cg_iters=cg_iters, mesh=mesh)
 
 

@@ -6,7 +6,12 @@ Problem scale mirrors BASELINE.md C3 (south-building full, 128 images):
 128 cameras, 100k points, ~600k observations. The metric is steady-state
 Levenberg-Marquardt iterations/sec of the Schur-eliminated PCG solver
 (each LM iteration = residuals + 21-tangent fwd-mode Jacobians + point-block
-factorization + 20 PCG iterations on the reduced camera system + back-subst).
+factorization + 20 PCG iterations on the reduced camera system + back-subst),
+measured whole-solve through the device-resident re-solve API
+(sfm/resident.py: structure and parameters stay on device between solves;
+each timed solve dispatches the packed executable and fetches the summary
+scalars). Inputs are uniquely perturbed per timed solve on device, so the
+remote tunnel's result cache cannot serve a stored answer.
 
 vs_baseline: the reference (pycolmap/COLMAP+Ceres) is not installable in this
 environment (no pip; COLMAP C++ not vendored), so the baseline is the same
@@ -35,13 +40,9 @@ LM_ITERS = 20
 
 
 def run_ba(lm_iters: int):
-    import jax
-
     from pycolmap_tpu.parallel.synthetic import make_synthetic_bundle
-    from pycolmap_tpu.sfm.bundle_adjustment import (
-        BundleAdjustmentOptions,
-        solve_bundle,
-    )
+    from pycolmap_tpu.sfm.bundle_adjustment import BundleAdjustmentOptions
+    from pycolmap_tpu.sfm.resident import ResidentBundleSolver
 
     problem = make_synthetic_bundle(
         num_images=NUM_IMAGES,
@@ -56,32 +57,31 @@ def run_ba(lm_iters: int):
     options.max_num_iterations = lm_iters
     options.function_tolerance = 0.0
 
-    # compile + warmup (both iteration variants)
-    options_warm = BundleAdjustmentOptions()
-    options_warm.max_num_iterations = lm_iters
-    _, s_warm = solve_bundle(problem, options_warm, cg_iters=CG_ITERS)
-    options_1 = BundleAdjustmentOptions()
-    options_1.max_num_iterations = 1
-    options_1.function_tolerance = 0.0
-    solve_bundle(problem, options_1, cg_iters=CG_ITERS)
+    # resident solver (sfm/resident.py): bucket structure AND parameters
+    # stay on device across re-solves — the production posture for repeated
+    # solves on one graph (iterative global refinement) and the r3-verdict
+    # methodology for the headline number. Warm both iteration variants.
+    solver = ResidentBundleSolver(problem, options, cg_iters=CG_ITERS)
+    solver.solve()
+    solver.solve(max_iterations=1)
 
-    # every timed solve gets a UNIQUE input: the remote tunnel serves
-    # content-identical (executable, input) pairs from a result cache,
-    # which would time the transfer instead of the solve
-    def timed(opts, eps):
-        p = problem._replace(points=problem.points + eps)
+    # every timed solve still gets a UNIQUE input (device-side point
+    # perturbation): the remote tunnel serves content-identical
+    # (executable, input) pairs from a result cache, which would time the
+    # transfer instead of the solve
+    def timed(iters, eps):
+        solver.perturb_points(eps)
         t0 = time.perf_counter()
-        _, s = solve_bundle(p, opts, cg_iters=CG_ITERS)
+        s = solver.solve(max_iterations=iters)
         return time.perf_counter() - t0, s
 
     dt, summary = min(
-        (timed(options, 2e-6), timed(options, 3e-6)), key=lambda x: x[0]
+        (timed(lm_iters, 2e-6), timed(lm_iters, 3e-6)), key=lambda x: x[0]
     )
-    # marginal rate: subtract the per-SOLVE fixed cost (bucketize-cache
-    # hash, packed transfers, tunnel dispatch — ~180 ms of which most is
-    # remote-tunnel transfer/dispatch artifact), measured via 1-iteration
-    # solves on further-perturbed inputs
-    dt1 = min(timed(options_1, 4e-6)[0], timed(options_1, 5e-6)[0])
+    # marginal rate: subtract the remaining per-solve fixed cost (dispatch
+    # round trip + stats fetch), measured via 1-iteration solves on
+    # further-perturbed inputs
+    dt1 = min(timed(1, 4e-6)[0], timed(1, 5e-6)[0])
     iters = max(summary.num_iterations, 1)
     marginal = (
         (iters - 1) / max(dt - dt1, 1e-9)

@@ -43,9 +43,11 @@ from pycolmap_tpu.estimators import (
     TwoViewGeometryConfiguration,
     TwoViewGeometryOptions,
     absolute_pose_estimation,
+    align_reconstruction_to_locations,
     align_reconstructions_via_points,
     align_reconstructions_via_proj_centers,
     align_reconstructions_via_reprojections,
+    align_reconstrution_to_locations,
     compare_reconstructions,
     estimate_sim3d_robust,
     essential_matrix_estimation,

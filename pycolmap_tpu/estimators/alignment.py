@@ -188,6 +188,58 @@ def align_reconstructions_via_points(
     return tform
 
 
+def align_reconstruction_to_locations(
+    src_reconstruction,
+    image_names,
+    locations,
+    min_common_images: int = 3,
+    ransac_options=None,
+):
+    """Robust Sim3 aligning a reconstruction to per-image 3D locations
+    (e.g. GPS priors), ref: alignment.h:91-113 / upstream
+    AlignReconstructionToLocations.
+
+    image_names[i] names a registered image whose projection center should
+    map to locations[i]. Returns Sim3d (locations_from_src) or None
+    (None-on-failure contract).
+    """
+    if min_common_images < 3:
+        raise ValueError("min_common_images must be >= 3")
+    locations = np.asarray(locations, dtype=np.float64)
+    if len(image_names) != len(locations):
+        raise ValueError("image_names and locations must have equal length")
+    by_name = {
+        img.name: img
+        for img in src_reconstruction.images.values()
+        if img.registered
+    }
+    src_centers, dst_locations = [], []
+    for name, loc in zip(image_names, locations):
+        img = by_name.get(name)
+        if img is not None:
+            src_centers.append(img.projection_center())
+            dst_locations.append(loc)
+    if len(src_centers) < min_common_images:
+        return None
+    src_centers = np.asarray(src_centers)
+    dst_locations = np.asarray(dst_locations)
+    if ransac_options is None:
+        from pycolmap_tpu.estimators.ransac import RANSACOptions
+
+        ransac_options = RANSACOptions()
+    tform, inlier_mask = estimate_sim3d_robust(
+        src_centers, dst_locations, float(ransac_options.max_error)
+    )
+    if tform is None or int(np.sum(inlier_mask)) < min_common_images:
+        return None
+    return tform
+
+
+# the reference binds this name with a typo (alignment.h:92
+# "align_reconstrution_to_locations"); keep it callable for drop-in parity
+align_reconstrution_to_locations = align_reconstruction_to_locations
+
+
 def align_reconstructions_via_reprojections(
     src_reconstruction, tgt_reconstruction,
     min_inlier_observations: float = 0.3,

@@ -775,6 +775,162 @@ def pnp_dlt(x, X, w=None):
     return qops.matrix_to_quat(R), t
 
 
+def epnp(x, X, w=None, gn_iters: int = 5):
+    """EPnP non-minimal PnP for n >= 4 points (Lepetit et al. IJCV'09; the
+    reference's non-minimal absolute-pose solver, ref absolute_pose.h:148).
+
+    x: [..., N, 2] normalized image points; X: [..., N, 3] world points;
+    w: [..., N] weights. Returns (quat wxyz, trans) of cam_from_world.
+
+    Batched and jit-friendly: control points from weighted PCA, 12x12
+    eigendecomposition, the N=1/2/3 beta approximations each Gauss-Newton
+    refined on the 6 control-point distance constraints, best case chosen
+    by weighted reprojection error.
+    """
+    if w is None:
+        w = jnp.ones(x.shape[:-1], dtype=x.dtype)
+    eps = 1e-10
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), eps)
+    wn = w / wsum  # [..., N]
+
+    # -- control points: weighted centroid + principal directions ----------
+    c0 = jnp.sum(X * wn[..., None], axis=-2)  # [..., 3]
+    A = X - c0[..., None, :]
+    cov = jnp.einsum("...n,...ni,...nj->...ij", wn, A, A)
+    lam, V = jnp.linalg.eigh(cov)  # ascending
+    sig = jnp.sqrt(jnp.maximum(lam, eps))
+    ctrl_w = jnp.stack(
+        [c0]
+        + [c0 + sig[..., k, None] * V[..., :, k] for k in (2, 1, 0)],
+        axis=-2,
+    )  # [..., 4, 3]
+
+    # -- barycentric coordinates -------------------------------------------
+    ones4 = jnp.ones(ctrl_w.shape[:-2] + (1, 4), dtype=x.dtype)
+    Cmat = jnp.concatenate(
+        [jnp.swapaxes(ctrl_w, -1, -2), ones4], axis=-2
+    )  # [..., 4, 4]; columns are [c_j; 1]
+    Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+    alpha = jnp.swapaxes(
+        jnp.linalg.solve(Cmat, jnp.swapaxes(Xh, -1, -2)), -1, -2
+    )  # [..., N, 4]
+
+    # -- M^T M (never materialize M beyond per-point rows) -----------------
+    u = x[..., 0:1]  # [..., N, 1]
+    v = x[..., 1:2]
+    zero = jnp.zeros_like(alpha[..., None])
+    # per control point j the 3 columns are alpha_j*(1,0,-u) / (0,1,-v)
+    ru = jnp.stack(
+        [alpha[..., None] * jnp.ones_like(zero), zero,
+         -alpha[..., None] * u[..., None]], axis=-1
+    ).reshape(alpha.shape[:-1] + (12,))
+    rv = jnp.stack(
+        [zero, alpha[..., None] * jnp.ones_like(zero),
+         -alpha[..., None] * v[..., None]], axis=-1
+    ).reshape(alpha.shape[:-1] + (12,))
+    rows = jnp.stack([ru, rv], axis=-2)  # [..., N, 2, 12]
+    MtM = jnp.einsum("...nri,...nrj->...ij", rows * w[..., None, None], rows)
+    _, evecs = jnp.linalg.eigh(MtM)
+    V4 = evecs[..., :, :4]  # 4 smallest — [..., 12, 4]
+    vctrl = jnp.swapaxes(V4, -1, -2).reshape(V4.shape[:-2] + (4, 4, 3))
+    # vctrl[k, j] = control point j of null-basis vector k
+
+    pairs = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    dv = jnp.stack(
+        [vctrl[..., a, :] - vctrl[..., b, :] for a, b in pairs], axis=-2
+    )  # [..., 4, 6, 3]
+    dw = jnp.stack(
+        [ctrl_w[..., a, :] - ctrl_w[..., b, :] for a, b in pairs], axis=-2
+    )
+    rho = jnp.sum(dw * dw, axis=-1)  # [..., 6]
+
+    # dot products dv_j . dv_k per pair
+    def ddot(j, k):
+        return jnp.sum(dv[..., j, :, :] * dv[..., k, :, :], axis=-1)
+
+    d11, d12, d22 = ddot(0, 0), ddot(0, 1), ddot(1, 1)
+    d13, d23, d33 = ddot(0, 2), ddot(1, 2), ddot(2, 2)
+
+    def lstsq_sym(L, b):
+        # normal-equation least squares, batched small systems
+        LtL = jnp.einsum("...pi,...pj->...ij", L, L)
+        LtL = LtL + eps * jnp.eye(LtL.shape[-1], dtype=L.dtype)
+        Ltb = jnp.einsum("...pi,...p->...i", L, b)
+        return jnp.linalg.solve(LtL, Ltb[..., None])[..., 0]
+
+    # case N=1
+    b11 = jnp.sum(d11 * rho, axis=-1) / jnp.maximum(
+        jnp.sum(d11 * d11, axis=-1), eps
+    )
+    beta_c1 = jnp.stack(
+        [jnp.sqrt(jnp.maximum(b11, 0.0))]
+        + [jnp.zeros_like(b11)] * 3, axis=-1
+    )
+    # case N=2: unknowns (b11, b12, b22)
+    L2 = jnp.stack([d11, 2 * d12, d22], axis=-1)
+    s2 = lstsq_sym(L2, rho)
+    b1 = jnp.sqrt(jnp.abs(s2[..., 0]))
+    b2 = jnp.sqrt(jnp.abs(s2[..., 2])) * jnp.sign(s2[..., 1]) * jnp.where(
+        s2[..., 0] < 0, -1.0, 1.0
+    )
+    beta_c2 = jnp.stack(
+        [b1, b2, jnp.zeros_like(b1), jnp.zeros_like(b1)], axis=-1
+    )
+    # case N=3: unknowns (b11, b12, b22, b13, b23, b33) — 6 eqs, 6 unknowns
+    L3 = jnp.stack([d11, 2 * d12, d22, 2 * d13, 2 * d23, d33], axis=-1)
+    s3 = lstsq_sym(L3, rho)
+    b1 = jnp.sqrt(jnp.abs(s3[..., 0]))
+    b2 = jnp.sqrt(jnp.abs(s3[..., 2])) * jnp.sign(s3[..., 1])
+    b3 = jnp.sqrt(jnp.abs(s3[..., 5])) * jnp.sign(s3[..., 3])
+    beta_c3 = jnp.stack([b1, b2, b3, jnp.zeros_like(b1)], axis=-1)
+
+    def gauss_newton(beta):
+        def gn_step(beta, _):
+            cc_d = jnp.einsum("...k,...kpi->...pi", beta, dv)  # [..., 6, 3]
+            r = jnp.sum(cc_d * cc_d, axis=-1) - rho  # [..., 6]
+            J = 2 * jnp.einsum("...pi,...kpi->...pk", cc_d, dv)  # [..., 6, 4]
+            JtJ = jnp.einsum("...pi,...pj->...ij", J, J)
+            JtJ = JtJ + 1e-8 * jnp.eye(4, dtype=J.dtype)
+            Jtr = jnp.einsum("...pi,...p->...i", J, r)
+            return beta - jnp.linalg.solve(JtJ, Jtr[..., None])[..., 0], None
+
+        beta, _ = jax.lax.scan(gn_step, beta, None, length=gn_iters)
+        return beta
+
+    def pose_from_beta(beta):
+        cc = jnp.einsum("...k,...kji->...ji", beta, vctrl)  # [..., 4, 3]
+        pc = jnp.einsum("...nj,...ji->...ni", alpha, cc)  # [..., N, 3]
+        # cheirality: flip the null-space sign so depths are positive
+        flip = jnp.where(
+            jnp.sum(jnp.sign(pc[..., 2]) * w, axis=-1) < 0, -1.0, 1.0
+        )
+        pc = pc * flip[..., None, None]
+        _, quat, t = umeyama(X, pc, w, with_scale=False)
+        return quat, t
+
+    def reproj_err(quat, t):
+        p_cam = qops.quat_rotate(quat[..., None, :], X) + t[..., None, :]
+        z = p_cam[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+        proj = p_cam[..., :2] / z_safe[..., None]
+        err = jnp.sum((proj - x) ** 2, axis=-1)
+        err = jnp.where(z <= 1e-8, 1e6, err)
+        return jnp.sum(err * wn, axis=-1)
+
+    best_q, best_t, best_e = None, None, None
+    for beta0 in (beta_c1, beta_c2, beta_c3):
+        quat, t = pose_from_beta(gauss_newton(beta0))
+        e = reproj_err(quat, t)
+        if best_e is None:
+            best_q, best_t, best_e = quat, t, e
+        else:
+            take = e < best_e
+            best_q = jnp.where(take[..., None], quat, best_q)
+            best_t = jnp.where(take[..., None], t, best_t)
+            best_e = jnp.minimum(e, best_e)
+    return best_q, best_t
+
+
 # ---------------------------------------------------------------------------
 # similarity transform (Umeyama)
 # ---------------------------------------------------------------------------

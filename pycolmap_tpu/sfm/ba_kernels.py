@@ -1376,6 +1376,59 @@ def _bucketize_cached(problem: BundleProblem, mesh):
     return dev_buckets, pts_l, rows_l, sel_l
 
 
+def _packed_dispatch(buckets, pts_all, cam_quat, cam_trans, intrinsics,
+                     pose_free, intr_free, loss_scale, img2cam, eta,
+                     npts, nts, I_pad, C_pad, model_id, loss_type,
+                     cg_iters, max_iters, knobs):
+    """Dispatch the packed solver through the persistent executable cache.
+
+    Fresh processes re-pay each solver signature's remote compile (190-260 s
+    for global-BA shapes) without it — see utils/aot_cache.py. Returns the
+    packed result still ON DEVICE (callers fetch or chain as they choose).
+    """
+    import sys
+
+    from pycolmap_tpu.ops import ba_math as _bam
+    from pycolmap_tpu.ops import camera_models as _cmm
+    from pycolmap_tpu.sfm import cg_kernel as _ckm
+    from pycolmap_tpu.utils import aot_cache
+
+    statics = (npts, I_pad, C_pad, model_id, loss_type,
+               cg_iters, max_iters, knobs)
+    sig = ("packed", nts, statics,
+           aot_cache.source_salt(sys.modules[__name__], _ckm, _bam, _cmm))
+    exe = aot_cache.get("ba", sig)
+    if exe is not None:
+        return exe(
+            buckets, pts_all, cam_quat, cam_trans, intrinsics,
+            pose_free, intr_free, loss_scale, img2cam=img2cam, eta=eta,
+        )
+    packed = _solve_bucketed_packed_jit(
+        buckets, pts_all,
+        cam_quat, cam_trans, intrinsics,
+        pose_free, intr_free,
+        npts, I_pad, C_pad, model_id, loss_type,
+        loss_scale, cg_iters, max_iters,
+        img2cam=img2cam, knobs=knobs, eta=eta,
+    )
+    if aot_cache.enabled():
+        try:
+            aot_cache.put(
+                "ba", sig,
+                _solve_bucketed_packed_jit.lower(
+                    buckets, pts_all,
+                    cam_quat, cam_trans, intrinsics,
+                    pose_free, intr_free,
+                    npts, I_pad, C_pad, model_id,
+                    loss_type, loss_scale, cg_iters, max_iters,
+                    img2cam=img2cam, knobs=knobs, eta=eta,
+                ).compile(),  # in-memory hit: ~ms after the call
+            )
+        except Exception:
+            pass
+    return packed
+
+
 def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
                       mesh=None):
     """Bucketed fast path; same contract as bundle_adjustment.solve_bundle.
@@ -1439,50 +1492,12 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
         max_iters = int(options.max_num_iterations)
         loss_scale = jnp.float32(options.loss_function_scale)
         eta = jnp.float32(getattr(options, "eta", 0.1))
-        statics = (npts, I_pad, C_pad, problem.model_id, loss_type,
-                   cg_iters, max_iters, knobs)
-        # persistent executable cache: fresh processes re-pay each solver
-        # signature's remote compile (190-260 s for global-BA shapes)
-        # without it — see utils/aot_cache.py
-        import sys
-
-        from pycolmap_tpu.ops import ba_math as _bam
-        from pycolmap_tpu.ops import camera_models as _cmm
-        from pycolmap_tpu.sfm import cg_kernel as _ckm
-        from pycolmap_tpu.utils import aot_cache
-
-        sig = ("packed", nts, statics,
-               aot_cache.source_salt(sys.modules[__name__], _ckm, _bam, _cmm))
-        exe = aot_cache.get("ba", sig)
-        if exe is not None:
-            packed = exe(
-                buckets, pts_all, cam_quat, cam_trans, intrinsics,
-                pose_free, intr_free, loss_scale, img2cam=img2cam, eta=eta,
-            )
-        else:
-            packed = _solve_bucketed_packed_jit(
-                buckets, pts_all,
-                cam_quat, cam_trans, intrinsics,
-                pose_free, intr_free,
-                npts, I_pad, C_pad, problem.model_id, loss_type,
-                loss_scale, cg_iters, max_iters,
-                img2cam=img2cam, knobs=knobs, eta=eta,
-            )
-            if aot_cache.enabled():
-                try:
-                    aot_cache.put(
-                        "ba", sig,
-                        _solve_bucketed_packed_jit.lower(
-                            buckets, pts_all,
-                            cam_quat, cam_trans, intrinsics,
-                            pose_free, intr_free,
-                            npts, I_pad, C_pad, problem.model_id,
-                            loss_type, loss_scale, cg_iters, max_iters,
-                            img2cam=img2cam, knobs=knobs, eta=eta,
-                        ).compile(),  # in-memory hit: ~ms after the call
-                    )
-                except Exception:
-                    pass
+        packed = _packed_dispatch(
+            buckets, pts_all, cam_quat, cam_trans, intrinsics,
+            pose_free, intr_free, loss_scale, img2cam, eta,
+            npts, nts, I_pad, C_pad, problem.model_id, loss_type,
+            cg_iters, max_iters, knobs,
+        )
         packed = np.asarray(packed)  # ONE D2H
         o = 0
         quat = packed[o:o + 4 * I_pad].reshape(I_pad, 4); o += 4 * I_pad

@@ -290,3 +290,135 @@ class TestTwoViewGeometry:
             cam, x1, cam, x2, options=opts
         )
         assert g1.config != int(TwoViewGeometryConfiguration.MULTIPLE)
+
+
+class TestEPnP:
+    """EPnP non-minimal solver (ref absolute_pose.h:148 EPNPEstimator)."""
+
+    def _random_problem(self, rng, n=20, noise=0.0):
+        from pycolmap_tpu.ops import quaternion as qops
+
+        A = rng.normal(size=(3, 3))
+        Q, _ = np.linalg.qr(A)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        t = rng.normal(size=3) * 0.5 + np.array([0, 0, 4.0])
+        X = rng.uniform(-2, 2, (n, 3))
+        pc = X @ Q.T + t
+        pc[:, 2] = np.abs(pc[:, 2]) + 1.0
+        X = (pc - t) @ Q  # world points with guaranteed positive depth
+        x = pc[:, :2] / pc[:, 2:] + rng.normal(0, noise, (n, 2))
+        return Q, t, x.astype(np.float32), X.astype(np.float32)
+
+    def _rot_err_deg(self, q, R):
+        from pycolmap_tpu.ops import quaternion as qops
+
+        Rh = np.asarray(qops.quat_to_matrix(q))
+        c = (np.trace(Rh @ R.T) - 1) / 2
+        return np.rad2deg(np.arccos(np.clip(c, -1, 1)))
+
+    def test_epnp_exact(self):
+        from pycolmap_tpu.ops import solvers
+
+        rng = np.random.default_rng(1)
+        for _ in range(5):
+            R, t, x, X = self._random_problem(rng)
+            q, tt = solvers.epnp(jnp.asarray(x), jnp.asarray(X))
+            assert self._rot_err_deg(q, R) < 0.1
+            assert np.linalg.norm(np.asarray(tt) - t) < 1e-3
+
+    def test_epnp_beats_dlt_under_noise(self):
+        """The A/B justifying the r3->r4 solver switch (VERDICT missing #5)."""
+        from pycolmap_tpu.ops import solvers
+
+        rng = np.random.default_rng(2)
+        e_ep, e_dlt = [], []
+        for _ in range(20):
+            R, t, x, X = self._random_problem(rng, noise=0.005)
+            xj, Xj = jnp.asarray(x), jnp.asarray(X)
+            q, _ = solvers.epnp(xj, Xj)
+            e_ep.append(self._rot_err_deg(q, R))
+            q2, _2 = solvers.pnp_dlt(xj[None], Xj[None])
+            e_dlt.append(self._rot_err_deg(q2[0], R))
+        assert np.median(e_ep) < np.median(e_dlt)
+
+    def test_epnp_batched(self):
+        from pycolmap_tpu.ops import solvers
+
+        rng = np.random.default_rng(3)
+        probs = [self._random_problem(rng) for _ in range(4)]
+        x = jnp.stack([jnp.asarray(p[2]) for p in probs])
+        X = jnp.stack([jnp.asarray(p[3]) for p in probs])
+        q, t = solvers.epnp(x, X)
+        for b, (R, tb, _, _) in enumerate(probs):
+            assert self._rot_err_deg(q[b], R) < 0.1
+            assert np.linalg.norm(np.asarray(t[b]) - tb) < 1e-3
+
+
+class TestAlignToLocations:
+    def _make_rec(self, rng, n_images=8):
+        from pycolmap_tpu.geometry import Rigid3d, Rotation3d
+        from pycolmap_tpu.scene import Camera, Image, Reconstruction
+
+        rec = Reconstruction()
+        cam = Camera.create(1, "SIMPLE_PINHOLE", 500.0, 640, 480)
+        rec.add_camera(cam)
+        centers = []
+        for i in range(n_images):
+            c = rng.uniform(-3, 3, 3)
+            R = np.eye(3)
+            img = Image(name=f"im{i}.jpg", camera_id=1, id=i + 1)
+            img.cam_from_world = Rigid3d(Rotation3d(R), -R @ c)
+            img.registered = True
+            rec.add_image(img)
+            centers.append(c)
+        return rec, np.asarray(centers)
+
+    def test_align_to_locations_recovers_sim3(self):
+        from pycolmap_tpu.estimators import align_reconstruction_to_locations
+        from pycolmap_tpu.estimators.ransac import RANSACOptions
+        from pycolmap_tpu.geometry import Sim3d
+
+        rng = np.random.default_rng(0)
+        rec, centers = self._make_rec(rng)
+        # ground-truth similarity: scale 2, rotation about z, shift
+        ang = 0.3
+        Rz = np.array(
+            [[np.cos(ang), -np.sin(ang), 0],
+             [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]]
+        )
+        locations = 2.0 * centers @ Rz.T + np.array([10.0, -5.0, 2.0])
+        # one gross outlier
+        locations[3] += np.array([50.0, 0, 0])
+        opts = RANSACOptions()
+        opts.max_error = 0.1
+        names = [f"im{i}.jpg" for i in range(len(centers))]
+        tform = align_reconstruction_to_locations(
+            rec, names, locations, 3, opts
+        )
+        assert tform is not None
+        pred = np.stack([tform * c for c in centers])
+        err = np.linalg.norm(pred - locations, axis=1)
+        assert (err < 0.05).sum() >= 7  # all but the planted outlier
+
+    def test_align_to_locations_too_few(self):
+        from pycolmap_tpu.estimators import align_reconstruction_to_locations
+        from pycolmap_tpu.estimators.ransac import RANSACOptions
+
+        rng = np.random.default_rng(1)
+        rec, centers = self._make_rec(rng, n_images=2)
+        names = [f"im{i}.jpg" for i in range(2)]
+        assert (
+            align_reconstruction_to_locations(
+                rec, names, centers, 3, RANSACOptions()
+            )
+            is None
+        )
+
+    def test_reference_typo_alias(self):
+        import pycolmap_tpu
+
+        assert (
+            pycolmap_tpu.align_reconstrution_to_locations
+            is pycolmap_tpu.align_reconstruction_to_locations
+        )

@@ -1,0 +1,73 @@
+"""ResidentBundleSolver: device-resident re-solves match solve_bundle."""
+
+import numpy as np
+import pytest
+
+from pycolmap_tpu.parallel.synthetic import make_synthetic_bundle
+from pycolmap_tpu.sfm.bundle_adjustment import (
+    BundleAdjustmentOptions,
+    solve_bundle,
+)
+from pycolmap_tpu.sfm.resident import ResidentBundleSolver
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return make_synthetic_bundle(
+        num_images=6, num_points=300, obs_per_point=4,
+        pose_noise=0.03, point_noise=0.05, refine_intrinsics=True, seed=3,
+    )
+
+
+def _options(iters=8):
+    o = BundleAdjustmentOptions()
+    o.max_num_iterations = iters
+    o.print_summary = False
+    o.devices = "none"
+    return o
+
+
+def test_resident_matches_solve_bundle(problem):
+    opts = _options()
+    ref_problem, ref_summary = solve_bundle(problem, opts, cg_iters=15)
+
+    solver = ResidentBundleSolver(problem, opts, cg_iters=15)
+    summary = solver.solve()
+    assert summary.num_iterations == ref_summary.num_iterations
+    assert summary.final_cost == pytest.approx(
+        ref_summary.final_cost, rel=1e-4
+    )
+    fetched = solver.fetch_problem()
+    np.testing.assert_allclose(
+        np.asarray(fetched.cam_quat), np.asarray(ref_problem.cam_quat),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fetched.points), np.asarray(ref_problem.points), atol=1e-4,
+    )
+
+
+def test_resident_resolve_advances(problem):
+    """A second solve() continues from the first solve's parameters."""
+    opts = _options(iters=4)
+    solver = ResidentBundleSolver(problem, opts, cg_iters=15)
+    s1 = solver.solve()
+    s2 = solver.solve()
+    # second solve starts near the first's optimum: cost continues downward
+    assert s2.initial_cost <= s1.final_cost * 1.01
+    assert s2.final_cost <= s2.initial_cost * 1.001
+
+    # matches two sequential solve_bundle calls
+    p1, _ = solve_bundle(problem, opts, cg_iters=15)
+    p2, s2_ref = solve_bundle(p1, opts, cg_iters=15)
+    assert s2.final_cost == pytest.approx(s2_ref.final_cost, rel=1e-3)
+
+
+def test_resident_perturb_changes_input(problem):
+    opts = _options(iters=2)
+    solver = ResidentBundleSolver(problem, opts, cg_iters=10)
+    s1 = solver.solve()
+    solver2 = ResidentBundleSolver(problem, opts, cg_iters=10)
+    solver2.perturb_points(1e-3)
+    s2 = solver2.solve()
+    assert s1.initial_cost != pytest.approx(s2.initial_cost, rel=1e-9)

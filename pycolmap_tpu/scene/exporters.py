@@ -79,8 +79,8 @@ def export_bundler(reconstruction, path, list_path):
         R = img.cam_from_world.rotation.matrix()
         t = img.cam_from_world.translation
         F = np.diag([1.0, -1.0, -1.0])
-        Rb = F @ R
-        tb = F @ t
+        Rb = F @ R + 0.0  # + 0.0 normalizes IEEE -0.0 so text is canonical
+        tb = F @ t + 0.0
         lines.append(f"{f} {k1} {k2}")
         for r in range(3):
             lines.append(f"{Rb[r,0]} {Rb[r,1]} {Rb[r,2]}")

@@ -1,0 +1,145 @@
+"""Camera-block sharding for distributed BA (VERDICT r3 missing #3 /
+weak #3: the point-sharded solver replicates all camera blocks, which is
+fine at 128 images and dead at 10k+).
+
+First cut of the two-level Schur design (SURVEY.md §2c P4 refinement):
+
+  level 1 (existing, ba_kernels mesh path): points + observations sharded
+  over the mesh; per-shard Schur elimination of point blocks; the reduced
+  camera system (rhs, block-Jacobi preconditioner, implicit S·x partials)
+  assembles via psum.
+
+  level 2 (this module): the CAMERA-side state — x/r/p/z vectors [I, 6],
+  the preconditioner blocks [I, 6, 6], and the dense reduced matrix S when
+  materialized — is row-sharded over the same mesh axis with a
+  block-cyclic camera assignment, so per-device camera memory is O(I/D)
+  and the preconditioner solve is local. Each CG iteration's collectives:
+
+    - psum of the S·x partials          : I*6*4 B   (level 1, unchanged)
+    - psum of the two CG scalars        : 8 B
+    - all_gather of x for the matvec    : I*6*4 B
+
+  at C5 scale (I = 1000): ~24 KB per CG iteration per direction — ICI
+  noise; the win is the O(I/D) state and O(I/D) preconditioner work.
+  Reference analog: Ceres threaded sparse Schur keeps one shared camera
+  block on one node (pipeline/sfm.h:176-180) — no distribution at all.
+
+Block-cyclic assignment keeps neighboring cameras (which share points and
+therefore S-coupling) on different shards, balancing the reduced system's
+row density across devices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def assign_cameras_block_cyclic(num_cameras: int, num_shards: int,
+                                block: int = 8) -> np.ndarray:
+    """[num_cameras] shard index per camera, block-cyclic with `block`."""
+    blocks = (num_cameras + block - 1) // block
+    shard_of_block = np.arange(blocks) % num_shards
+    return np.repeat(shard_of_block, block)[:num_cameras]
+
+
+def shard_rows(arr: np.ndarray, mesh, axis_name: str = None):
+    """Row-shard [I, ...] camera-major state over the mesh (pads I to a
+    device multiple with zero rows)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = axis_name or mesh.axis_names[0]
+    n = mesh.devices.size
+    I = arr.shape[0]
+    I_pad = ((I + n - 1) // n) * n
+    if I_pad != I:
+        arr = np.concatenate(
+            [arr, np.zeros((I_pad - I,) + arr.shape[1:], arr.dtype)]
+        )
+    spec = P(*([axis] + [None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def two_level_schur_solve(S, rhs, mesh, cg_iters: int = 64,
+                          eta: float = 1e-6):
+    """CG on a dense reduced camera system with CAMERA-ROW-SHARDED state.
+
+    S [D, D] (dense reduced camera matrix, e.g. from small local-BA
+    windows or the two-level coarse solve), rhs [D]. S's rows, the
+    block-diagonal preconditioner work, and all CG vectors live sharded
+    over the mesh; each iteration all_gathers x (D*4 bytes) for the local
+    row-block matvec and psums two scalars. Returns x [D] replicated.
+
+    This is the level-2 pattern the 10k-camera solver composes with the
+    existing point-sharded level 1; tested for parity against a dense
+    solve on the virtual mesh (tests/test_camera_sharding.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    D = S.shape[0]
+    D_pad = ((D + n - 1) // n) * n
+    S_p = np.zeros((D_pad, D_pad), np.float32)
+    S_p[:D, :D] = np.asarray(S, np.float32)
+    # identity rows on padding keep the system non-singular
+    for k in range(D, D_pad):
+        S_p[k, k] = 1.0
+    rhs_p = np.zeros(D_pad, np.float32)
+    rhs_p[:D] = np.asarray(rhs, np.float32)
+
+    S_sh = jax.device_put(S_p, NamedSharding(mesh, P(axis, None)))
+    rhs_sh = jax.device_put(rhs_p, NamedSharding(mesh, P(axis)))
+
+    def cg(S_local, rhs_local):
+        # S_local [D_pad/n, D_pad] — this shard's camera rows
+        diag = jnp.diagonal(
+            jax.lax.dynamic_slice(
+                S_local,
+                (0, jax.lax.axis_index(axis) * S_local.shape[0]),
+                (S_local.shape[0], S_local.shape[0]),
+            )
+        )
+        pre = 1.0 / jnp.where(jnp.abs(diag) < 1e-12, 1.0, diag)
+
+        def matvec(x_local):
+            # all_gather of x: D*4 bytes per CG iteration
+            x_full = jax.lax.all_gather(x_local, axis, tiled=True)
+            return S_local @ x_full
+
+        z0 = pre * rhs_local
+        rz0 = jax.lax.psum(jnp.sum(rhs_local * z0), axis)
+
+        def body(carry):
+            x, r, p, rz, it = carry
+            Ap = matvec(p)
+            pAp = jax.lax.psum(jnp.sum(p * Ap), axis)  # psum scalar
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = pre * r
+            rz_new = jax.lax.psum(jnp.sum(r * z), axis)  # psum scalar
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = z + beta * p
+            return x, r, p, rz_new, it + 1
+
+        def cond(carry):
+            *_, rz, it = carry
+            return jnp.logical_and(it < cg_iters, rz > eta * eta * rz0)
+
+        x0 = jnp.zeros_like(rhs_local)
+        x, *_ = jax.lax.while_loop(
+            cond, body, (x0, rhs_local, z0, rz0, jnp.int32(0))
+        )
+        return x
+
+    x_sh = jax.jit(
+        shard_map(
+            cg, mesh=mesh, in_specs=(P(axis, None), P(axis)),
+            out_specs=P(axis),
+        )
+    )(S_sh, rhs_sh)
+    return np.asarray(jax.device_get(x_sh))[:D]

@@ -953,14 +953,6 @@ def _lm_solve_bucketed(
         # PYCOLMAP_TPU_BA_CG_BF16=0 keeps full-f32 matvecs (via knobs).
         if pal and use_cg_bf16:
             J16_pal = [_ck.pack_j_bf16(J_l[i]) for i in pal]
-            ii2_pal = [
-                jnp.concatenate([buckets[i].img_idx, buckets[i].img_idx])
-                for i in pal
-            ]
-            ci2_pal = [
-                jnp.concatenate([buckets[i].cam_idx, buckets[i].cam_idx])
-                for i in pal
-            ]
 
         def matvec(x_pose, x_intr):
             out_pose = damp_pose * x_pose
@@ -972,6 +964,7 @@ def _lm_solve_bucketed(
                 )
 
                 interp = interpret_default()
+                single_cam = C == 1
                 Ip = _round_up(I, _LANES)
                 Cp = _round_up(C, _LANES)
                 xp_t = jnp.zeros((8, Ip)).at[:6, :I].set(x_pose.T)
@@ -981,12 +974,16 @@ def _lm_solve_bucketed(
                 mi = jnp.zeros((C, NP))
                 for k, i in enumerate(pal):
                     op_t, oi_t = cg_matvec16_bucket(
-                        J16_pal[k], ii2_pal[k], ci2_pal[k],
+                        J16_pal[k],
                         buckets[i].img_idx, buckets[i].cam_idx,
-                        Vinv_l[i], xp_t, xi_t, interpret=interp,
+                        Vinv_l[i], xp_t, xi_t, single_cam=single_cam,
+                        interpret=interp,
                     )
                     mp = mp + op_t[:6, :I].T
-                    mi = mi + oi_t[:NP, :C].T
+                    if single_cam:
+                        mi = mi + jnp.sum(oi_t[:NP], axis=1).reshape(1, NP)
+                    else:
+                        mi = mi + oi_t[:NP, :C].T
                 out_pose = out_pose + mp
                 out_intr = out_intr + mi
             elif pal:
@@ -1279,23 +1276,50 @@ def _solve_bucketed_packed_jit(
     )
 
 
+def _mesh_is_multiprocess(mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def _put_sharded_last_axis(a, mesh):
+    """Place `a` on the mesh sharded along its LAST axis.
+
+    Single-process: plain device_put. Multi-process (jax.distributed): each
+    process contributes only its local slice via
+    jax.make_array_from_process_local_data — the point axis is contiguous
+    per process because the 1-D mesh is built over jax.devices() (ordered
+    by process)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    spec = P(*([None] * (a.ndim - 1) + [axis]))
+    sharding = NamedSharding(mesh, spec)
+    if not _mesh_is_multiprocess(mesh):
+        return jax.device_put(a, sharding)
+    a = np.asarray(a)
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    n = a.shape[-1]
+    assert n % nproc == 0, (n, nproc)
+    chunk = n // nproc
+    local = a[..., pid * chunk:(pid + 1) * chunk]
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(local), a.shape
+    )
+
+
 def _shard_buckets(buckets, mesh):
     """Place bucket arrays on a mesh, sharding the point axis (minor).
 
     A point and all its observations live in one column, so this is the
     point-aligned partitioning of SURVEY.md §2c P4: per-shard Schur
     elimination; XLA inserts psums for the one-hot camera contractions.
+    Works single-process (virtual or real multi-chip) and multi-process
+    (jax.distributed; VERDICT r3 missing #3).
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    axis = mesh.axis_names[0]
-
-    def put(a):
-        spec = P(*([None] * (a.ndim - 1) + [axis]))
-        return jax.device_put(a, NamedSharding(mesh, spec))
-
     return tuple(
-        Bucket(*(put(arr) for arr in b)) for b in buckets
+        Bucket(*(_put_sharded_last_axis(np.asarray(arr), mesh)
+                 for arr in b))
+        for b in buckets
     )
 
 
@@ -1362,11 +1386,8 @@ def _bucketize_cached(problem: BundleProblem, mesh):
         for rows in rows_l
     ]
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        spec = NamedSharding(mesh, P(None, mesh.axis_names[0]))
         buckets = tuple(
-            b._replace(points=jax.device_put(pts, spec))
+            b._replace(points=_put_sharded_last_axis(pts, mesh))
             for b, pts in zip(dev_buckets, pts_l)
         )
         return buckets, None, rows_l, sel_l
@@ -1519,6 +1540,21 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
             img2cam=img2cam, knobs=knobs,
             eta=jnp.float32(getattr(options, "eta", 0.1)),
         )
+        if _mesh_is_multiprocess(mesh):
+            # point outputs are shard-local per process; replicate on device
+            # so every process can fetch the full result (all_gather over
+            # the point axis; camera blocks are already psum-replicated)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            pts_list = jax.jit(
+                lambda ps: [jax.lax.with_sharding_constraint(p, rep)
+                            for p in ps]
+            )(pts_list)
+            quat, trans, intr, cost0, cost, it = jax.jit(
+                lambda xs: [jax.lax.with_sharding_constraint(x, rep)
+                            for x in xs]
+            )((quat, trans, intr, cost0, cost, it))
         # one batched D2H transfer for all results (per-array np.asarray
         # would cost a round-trip each)
         quat, trans, intr, pts_list, cost0, cost, it = jax.device_get(

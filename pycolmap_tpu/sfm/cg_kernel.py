@@ -220,20 +220,27 @@ def cg_matvec_bucket(J, img_idx, cam_idx, Vinv, xpose_t, xintr_t,
     )(J, img_idx, cam_idx, Vinv, xpose_t, xintr_t)
 
 
-def _make_matvec16_kernel(T, n_pt, n_ichunks, n_cchunks, NP):
-    """bf16-packed variant of the Schur matvec kernel.
+def _make_matvec16_kernel(T, n_steps, n_sub, n_ichunks, n_cchunks, NP,
+                          single_cam):
+    """bf16-packed Schur matvec kernel, wide-block edition.
 
     J arrives as [9+NP, 2T, P] bf16 — residual-row pairs packed into the
-    SUBLANE axis so each column plane is exactly one (16, 128) bf16 tile
-    (a bf16 [T=8, 128] plane would pad to 16 sublanes and save nothing).
-    Halves the per-matvec J stream; all arithmetic upcasts to f32 in
-    registers, so only J's storage precision drops (the CG step direction
-    tolerates ~1e-3 — inexact Newton; cost accept/reject stays exact).
+    SUBLANE axis so each column plane is exactly one (16, 128) bf16 tile.
+    Each grid step covers n_sub lane-tiles (W = n_sub*128 lanes): the
+    elementwise algebra runs WIDE (one vector op across the whole block —
+    round-4 profiling showed per-vreg op issue, not HBM bytes, bounds these
+    kernels at ~1 ns/slot), while the lane-granular pieces (tpu.dynamic_-
+    gather of x, one-hot MXU scatter) run per 128-lane subtile.  x is
+    gathered on the T track rows once and shared by both packed residual
+    halves (indices are identical).  single_cam=True (C == 1, the common
+    COLMAP shared-camera case) replaces the NP intrinsics gathers with
+    scalar broadcasts and the intrinsics scatter with a wide reduction —
+    callers then lane-sum the returned intr partials.
     """
     nk = 6 + NP
 
-    def kernel(J_ref, ii2_ref, ci2_ref, ii_ref, ci_ref, vinv_ref,
-               xp_ref, xi_ref, outp_ref, outi_ref, accp, acci):
+    def kernel(J_ref, ii_ref, ci_ref, vinv_ref,
+               xp_ref, xi_ref, outp_ref, outi_ref, accp, acci, xg_buf):
         pt = pl.program_id(0)
 
         @pl.when(pt == 0)
@@ -241,39 +248,76 @@ def _make_matvec16_kernel(T, n_pt, n_ichunks, n_cchunks, NP):
             accp[:] = jnp.zeros_like(accp)
             acci[:] = jnp.zeros_like(acci)
 
-        J = J_ref[:].astype(jnp.float32)  # [9+NP, 2T, 128]
-        ii2 = ii2_ref[:]  # [2T, 128] (img idx repeated per residual row)
-        ci2 = ci2_ref[:]
-        ii = ii_ref[:]  # [T, 128]
-        ci = ci_ref[:]
+        # lane-granular gathers into a VMEM staging buffer
+        for s in range(n_sub):
+            sl = slice(s * _LANES, (s + 1) * _LANES)
+            ii_s = ii_ref[:, sl]
+            for k in range(6):
+                xg_buf[k, :, sl] = _chunk_gather(
+                    xp_ref, k, ii_s, T, n_ichunks
+                )
+            if not single_cam:
+                ci_s = ci_ref[:, sl]
+                for k in range(NP):
+                    xg_buf[6 + k, :, sl] = _chunk_gather(
+                        xi_ref, k, ci_s, T, n_cchunks
+                    )
 
-        xc = [
-            _chunk_gather(xp_ref, k, ii2, 2 * T, n_ichunks) for k in range(6)
-        ] + [
-            _chunk_gather(xi_ref, k, ci2, 2 * T, n_cchunks)
-            for k in range(NP)
+        # wide algebra over the full [.., T, W] block
+        J = J_ref[:].astype(jnp.float32)  # [9+NP, 2T, W]
+        xg = xg_buf[:]
+        if single_cam:
+            xik = [xi_ref[k, 0] for k in range(NP)]
+        else:
+            xik = [xg[6 + k] for k in range(NP)]
+        a = sum(J[k, :T] * xg[k] for k in range(6)) + sum(
+            J[6 + k, :T] * xik[k] for k in range(NP)
+        )
+        a2 = sum(J[k, T:] * xg[k] for k in range(6)) + sum(
+            J[6 + k, T:] * xik[k] for k in range(NP)
+        )
+        # point reduction over both residual rows and the track
+        y = [
+            jnp.sum(J[nk + p_, :T] * a + J[nk + p_, T:] * a2, axis=0)
+            for p_ in range(3)
         ]
-        a = sum(J[k] * xc[k] for k in range(nk))  # [2T, 128]
-
-        # point reduction: sum over BOTH packed residual rows and the track
-        y = [jnp.sum(J[nk + p_] * a, axis=0) for p_ in range(3)]
         va, vb, vc, vd, ve, vf = (vinv_ref[i] for i in range(6))
         z0 = va * y[0] + vb * y[1] + vc * y[2]
         z1 = vb * y[0] + vd * y[1] + ve * y[2]
         z2 = vc * y[0] + ve * y[1] + vf * y[2]
         d = a - (
-            J[nk] * z0[None] + J[nk + 1] * z1[None] + J[nk + 2] * z2[None]
+            J[nk, :T] * z0[None] + J[nk + 1, :T] * z1[None]
+            + J[nk + 2, :T] * z2[None]
         )
+        d2 = a2 - (
+            J[nk, T:] * z0[None] + J[nk + 1, T:] * z1[None]
+            + J[nk + 2, T:] * z2[None]
+        )
+        vals = [J[k, :T] * d + J[k, T:] * d2 for k in range(nk)]
 
-        # fold the two residual halves before the camera scatter
-        vals = []
-        for k in range(nk):
-            w = J[k] * d  # [2T, 128]
-            vals.append(w[:T] + w[T:])
-        _tile_scatter(accp, vals[:6], ii, T, n_ichunks, precision="default")
-        _tile_scatter(acci, vals[6:], ci, T, n_cchunks, precision="default")
+        if single_cam:
+            for k in range(NP):
+                sk = jnp.sum(vals[6 + k], axis=0)  # [W]
+                sk = jnp.sum(
+                    sk.reshape(n_sub, _LANES), axis=0, keepdims=True
+                )
+                acci[k:k + 1, 0:_LANES] = acci[k:k + 1, 0:_LANES] + sk
+        # lane-granular one-hot scatters
+        for s in range(n_sub):
+            sl = slice(s * _LANES, (s + 1) * _LANES)
+            ii_s = ii_ref[:, sl]
+            _tile_scatter(
+                accp, [v[:, sl] for v in vals[:6]], ii_s, T, n_ichunks,
+                precision="default",
+            )
+            if not single_cam:
+                ci_s = ci_ref[:, sl]
+                _tile_scatter(
+                    acci, [v[:, sl] for v in vals[6:]], ci_s, T, n_cchunks,
+                    precision="default",
+                )
 
-        @pl.when(pt == n_pt - 1)
+        @pl.when(pt == n_steps - 1)
         def _flush():
             outp_ref[:] = accp[:]
             outi_ref[:] = acci[:]
@@ -281,31 +325,41 @@ def _make_matvec16_kernel(T, n_pt, n_ichunks, n_cchunks, NP):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def cg_matvec16_bucket(J16, img_idx2, cam_idx2, img_idx, cam_idx, Vinv,
-                       xpose_t, xintr_t, interpret=False):
+def _subtile_split(P, max_sub=32):
+    """(n_steps, n_sub) with n_sub lane-tiles per grid step."""
+    n_pt = P // _LANES
+    n_sub = max_sub
+    while n_pt % n_sub:
+        n_sub //= 2
+    return n_pt // n_sub, n_sub
+
+
+@functools.partial(jax.jit, static_argnames=("single_cam", "interpret"))
+def cg_matvec16_bucket(J16, img_idx, cam_idx, Vinv,
+                       xpose_t, xintr_t, single_cam=False, interpret=False):
     """One bucket's implicit Schur matvec from bf16-packed J.
 
-    J16 [9+NP, 2T, P] bf16 (see pack_j_bf16); img_idx2/cam_idx2 [2T, P]
-    (indices repeated for both packed residual rows); img_idx/cam_idx
-    [T, P]; remaining args as cg_matvec_bucket."""
+    J16 [9+NP, 2T, P] bf16 (see pack_j_bf16); img_idx/cam_idx [T, P];
+    remaining args as cg_matvec_bucket.  With single_cam=True the returned
+    intr accumulator holds per-lane PARTIAL sums — lane-sum it (the caller
+    does) to get the [NP] totals."""
     nj, T2, P = J16.shape
     NP = nj - 9
     T = T2 // 2
-    n_pt = P // _LANES
+    n_steps, n_sub = _subtile_split(P)
+    W = n_sub * _LANES
     kernel = _make_matvec16_kernel(
-        T, n_pt, xpose_t.shape[1] // _LANES, xintr_t.shape[1] // _LANES, NP
+        T, n_steps, n_sub, xpose_t.shape[1] // _LANES,
+        xintr_t.shape[1] // _LANES, NP, single_cam,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_pt,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((nj, T2, _LANES), lambda p: (0, 0, p)),
-            pl.BlockSpec((T2, _LANES), lambda p: (0, p)),
-            pl.BlockSpec((T2, _LANES), lambda p: (0, p)),
-            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
-            pl.BlockSpec((T, _LANES), lambda p: (0, p)),
-            pl.BlockSpec((6, _LANES), lambda p: (0, p)),
+            pl.BlockSpec((nj, T2, W), lambda p: (0, 0, p)),
+            pl.BlockSpec((T, W), lambda p: (0, p)),
+            pl.BlockSpec((T, W), lambda p: (0, p)),
+            pl.BlockSpec((6, W), lambda p: (0, p)),
             pl.BlockSpec(xpose_t.shape, lambda p: (0, 0)),
             pl.BlockSpec(xintr_t.shape, lambda p: (0, 0)),
         ],
@@ -316,6 +370,7 @@ def cg_matvec16_bucket(J16, img_idx2, cam_idx2, img_idx, cam_idx, Vinv,
         scratch_shapes=[
             pltpu.VMEM(xpose_t.shape, jnp.float32),
             pltpu.VMEM(xintr_t.shape, jnp.float32),
+            pltpu.VMEM((6 + (0 if single_cam else NP), T, W), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -326,7 +381,7 @@ def cg_matvec16_bucket(J16, img_idx2, cam_idx2, img_idx, cam_idx, Vinv,
             jax.ShapeDtypeStruct(xintr_t.shape, jnp.float32),
         ],
         interpret=interpret,
-    )(J16, img_idx2, cam_idx2, img_idx, cam_idx, Vinv, xpose_t, xintr_t)
+    )(J16, img_idx, cam_idx, Vinv, xpose_t, xintr_t)
 
 
 def pack_j_bf16(J):
@@ -346,6 +401,7 @@ def schur_matvec16(buckets, J16_l, Vinv_l, x_pose, x_intr, I, C,
     if interpret is None:
         interpret = interpret_default()
     NP = J16_l[0].shape[0] - 9
+    single_cam = C == 1
     Ip = _round_up(I, _LANES)
     Cp = _round_up(C, _LANES)
     xp_t = jnp.zeros((8, Ip), jnp.float32).at[:6, :I].set(x_pose.T)
@@ -354,14 +410,16 @@ def schur_matvec16(buckets, J16_l, Vinv_l, x_pose, x_intr, I, C,
     out_pose = jnp.zeros((I, 6))
     out_intr = jnp.zeros((C, NP))
     for b, J16, Vinv in zip(buckets, J16_l, Vinv_l):
-        ii2 = jnp.concatenate([b.img_idx, b.img_idx], axis=0)
-        ci2 = jnp.concatenate([b.cam_idx, b.cam_idx], axis=0)
         op_t, oi_t = cg_matvec16_bucket(
-            J16, ii2, ci2, b.img_idx, b.cam_idx, Vinv, xp_t, xi_t,
-            interpret=interpret,
+            J16, b.img_idx, b.cam_idx, Vinv, xp_t, xi_t,
+            single_cam=single_cam, interpret=interpret,
         )
         out_pose = out_pose + op_t[:6, :I].T
-        out_intr = out_intr + oi_t[:NP, :C].T
+        if single_cam:
+            # intr rows are per-lane partial sums (see cg_matvec16_bucket)
+            out_intr = out_intr + jnp.sum(oi_t[:NP], axis=1).reshape(1, NP)
+        else:
+            out_intr = out_intr + oi_t[:NP, :C].T
     return out_pose, out_intr
 
 

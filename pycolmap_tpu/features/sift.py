@@ -634,8 +634,12 @@ def _extract_core(
     for o in range(num_octaves):
         gauss = _build_octave(base, S)
         dog = gauss[1:] - gauss[:-1]
+        # keypoint counts scale with octave pixel count (~4x decay per
+        # octave); a flat per-octave budget burned the orient/desc stages
+        # on masked slots of the deep octaves (ROADMAP r3 Performance #2)
+        oct_budget = max(256, per_octave_kps >> o)
         x, y, lev_f, level_idx, scale_rel, resp, mask = _detect_octave(
-            gauss, dog, S, peak_threshold, edge_threshold, per_octave_kps
+            gauss, dog, S, peak_threshold, edge_threshold, oct_budget
         )
         oh, ow = gauss.shape[1], gauss.shape[2]
         grad = _octave_gradients(gauss)  # [2, LHp, Wp]
@@ -666,6 +670,23 @@ def _extract_core(
             if A is not None
             else None
         )
+        if O > 1:
+            # compact (keypoint, orientation) slots valid-first and shrink
+            # the descriptor budget to 1.5x the keypoint budget: detection
+            # emits valid-first, but orientation expansion interleaves the
+            # mostly-invalid second orientations; the desc stage cost is
+            # per-slot (~3.6 us/slot, ROADMAP r3), so masked slots are
+            # pure waste
+            B2 = oct_budget + (oct_budget >> 1)
+            order = jnp.argsort(jnp.where(me, 0, 1), stable=True)[:B2]
+            xe = xe[order]
+            ye = ye[order]
+            le = le[order]
+            se = se[order]
+            th = th[order]
+            me = me[order]
+            if Ae is not None:
+                Ae = Ae[order]
         if dsp_scales:
             # domain-size pooling (ref: extract_features.h dsp_* options):
             # average descriptors over scaled supports, then renormalize

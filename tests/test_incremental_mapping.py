@@ -28,13 +28,45 @@ def make_synthetic_database(
     mode="orbit": all cameras see the same point cloud (dense pair graph);
     mode="sequential": forward-moving trajectory over an extended scene —
     points are only visible from a window of frames and matching is
-    restricted to |i - j| <= match_overlap (C4-style sparse graph).
+    restricted to |i - j| <= match_overlap (C4-style sparse graph);
+    mode="loop": closed circular trajectory looking outward at a point
+    ring — the last frames revisit the first frames' view, but matching
+    stays |i - j| <= match_overlap (NO wrap-around), so closing the loop
+    is the retrieval/loop-detection machinery's job (C4/C5 loop-closure
+    demos). Descriptors are anchored per 3D point (+noise), so descriptor
+    matching and vocab-tree retrieval genuinely work on these databases.
     """
     rng = np.random.default_rng(seed)
     cam = Camera.create(0, "SIMPLE_PINHOLE", 600.0, 640, 480)
 
     poses = []
-    if mode == "sequential":
+    if mode == "loop":
+        step = 0.3
+        R_cam = num_images * step / (2 * np.pi)
+        R_pts = R_cam + 5.0
+        th = rng.uniform(0, 2 * np.pi, num_points)
+        points = np.stack(
+            [
+                R_pts * np.cos(th),
+                rng.uniform(-2.0, 2.0, num_points),
+                R_pts * np.sin(th),
+            ],
+            axis=1,
+        )
+        for i in range(num_images):
+            phi = 2 * np.pi * i / num_images
+            center = np.array(
+                [R_cam * np.cos(phi), 0.1 * np.sin(0.5 * i),
+                 R_cam * np.sin(phi)]
+            )
+            fwd = np.array([np.cos(phi), 0.0, np.sin(phi)])  # outward
+            up = np.array([0.0, -1.0, 0.0])
+            right = np.cross(up, fwd)
+            right /= np.linalg.norm(right)
+            up2 = np.cross(fwd, right)
+            R_wc = np.stack([right, up2, fwd], axis=0)
+            poses.append(Rigid3d(Rotation3d(R_wc), -R_wc @ center))
+    elif mode == "sequential":
         step = 0.3
         span = num_images * step + 5.0
         points = np.stack(
@@ -95,11 +127,16 @@ def make_synthetic_database(
         for i in range(num_images):
             img = Image(name=f"img{i:03d}.jpg", camera_id=cam_id)
             image_ids.append(db.write_image(img))
+        # descriptors anchored per 3D point: observations of the same point
+        # get near-identical descriptors, so matching/retrieval are real
+        point_desc = rng.integers(20, 235, (num_points, 128))
         for i in range(num_images):
             db.write_keypoints(image_ids[i], kp_xy[i].astype(np.float32))
+            d = point_desc[kp_pid[i]] + rng.integers(
+                -4, 5, (len(kp_pid[i]), 128)
+            )
             db.write_descriptors(
-                image_ids[i],
-                rng.integers(0, 255, (len(kp_xy[i]), 128)).astype(np.uint8),
+                image_ids[i], np.clip(d, 0, 255).astype(np.uint8)
             )
         # verified pairs from ground-truth correspondences
         for i in range(num_images):

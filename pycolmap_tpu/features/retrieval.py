@@ -114,12 +114,12 @@ class VocabTree:
     @classmethod
     def train(cls, descs: np.ndarray, branching: int = 8, depth: int = 4,
               iters: int = 8, seed: int = 0) -> "VocabTree":
-        """Batched level-wise HKM.
+        """Blocked level-wise HKM.
 
-        All nodes of a level train their child k-means SIMULTANEOUSLY: one
-        [N, K_level] similarity matmul per iteration; each descriptor's
-        argmax is masked to the B children of its parent node (sims of other
-        blocks are suppressed), and center updates are one segment-sum.
+        All nodes of a level train their child k-means simultaneously;
+        descriptors are grouped by parent node and each group runs a small
+        [n_p, B] host matmul per iteration (total flops N*B*D regardless of
+        level width), with center updates as segment sums.
         """
         descs = np.asarray(descs, np.float32)
         N, D = descs.shape
@@ -142,16 +142,29 @@ class VocabTree:
                 centers[p * branching:p * branching + len(take)] = descs[take]
             centers = _unit_rows(centers)
 
+            # per-parent blocked assignment: each descriptor only competes
+            # among its parent's B children, so computing the full [N, K]
+            # similarity (3.3 GB at 200k x 4096) is K/B-fold wasted work
+            # and memory — group descriptors by parent once per level and
+            # run one small [n_p, B] matmul per parent per iteration
+            # (total flops N*B*D, level-independent)
+            order = np.argsort(parent, kind="stable")
+            po = parent[order]
+            bounds = np.searchsorted(po, np.arange(branching ** lvl + 1))
             child = None
             for _ in range(iters):
-                sims = _device_matmul(descs, centers)  # [N, K]
-                # mask to the parent's sibling block
-                block = (np.arange(K)[None, :] // branching) == parent[:, None]
-                sims = np.where(block, sims, -np.inf)
-                child = np.argmax(sims, axis=1)
-                # center update: mean of members (segment sum)
+                child = np.zeros(N, np.int64)
                 sums = np.zeros((K, D), np.float64)
-                np.add.at(sums, child, descs)
+                for p in range(branching ** lvl):
+                    lo, hi = bounds[p], bounds[p + 1]
+                    if lo == hi:
+                        continue
+                    idx = order[lo:hi]
+                    dp = descs[idx]
+                    ctr = centers[p * branching:(p + 1) * branching]
+                    c = np.argmax(dp @ ctr.T, axis=1)
+                    child[idx] = p * branching + c
+                    np.add.at(sums, child[idx], dp)
                 counts = np.bincount(child, minlength=K).astype(np.float64)
                 nonempty = counts > 0
                 centers[nonempty] = _unit_rows(
@@ -436,7 +449,8 @@ def retrieve_ranked_pairs(
 def detect_loops(db, ordered_image_ids, period: int = 10,
                  num_images: int = 50, num_nearest_neighbors: int = 1,
                  num_checks: int = 256, max_num_features: int = -1,
-                 vocab_tree_path: str = "", min_sequence_gap: int = 20):
+                 vocab_tree_path: str = "", min_sequence_gap: int = 20,
+                 min_score: float = 0.0):
     """Loop-closure candidates for sequential matching: every `period`-th
     image queries the inverted index; matches far apart in sequence order
     are loop candidates (ref: SequentialMatchingOptions loop_detection_*).
@@ -455,11 +469,14 @@ def detect_loops(db, ordered_image_ids, period: int = 10,
     pos = {iid: k for k, iid in enumerate(ids)}
     out = []
     for k in range(0, len(ids), max(period, 1)):
-        ranked = index.query_row(k, num_images)
+        # over-query: the query's sequential neighbors legitimately score
+        # highest and would otherwise crowd loop candidates out of the
+        # top-num_images slots before the gap filter
+        ranked = index.query_row(k, num_images + 2 * min_sequence_gap)
         loops = [
             (m, s) for m, s in ranked
-            if abs(pos[m] - k) > min_sequence_gap
-        ]
+            if abs(pos[m] - k) > min_sequence_gap and s >= min_score
+        ][:num_images]
         if loops:
             out.append((ids[k], loops))
     return out

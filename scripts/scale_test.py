@@ -52,7 +52,8 @@ def add_loop_closures(db_path, verbose=True):
         ids = [im.image_id for im in images]
         t0 = time.time()
         ranked = detect_loops(db, ids, period=5, num_images=5,
-                              min_sequence_gap=max(20, len(ids) // 4))
+                              min_sequence_gap=max(20, len(ids) // 4),
+                              min_score=0.125)
         cands = sorted(
             {
                 (min(q, m), max(q, m))

@@ -325,10 +325,15 @@ def _make_matvec16_kernel(T, n_steps, n_sub, n_ichunks, n_cchunks, NP,
     return kernel
 
 
-def _subtile_split(P, max_sub=32):
-    """(n_steps, n_sub) with n_sub lane-tiles per grid step."""
+def _subtile_split(P, bytes_per_tile, max_sub=32, budget=9 * 2**20):
+    """(n_steps, n_sub) with n_sub lane-tiles per grid step.
+
+    n_sub is capped so the double-buffered input blocks + scratch fit the
+    16 MB scoped-VMEM limit (bytes_per_tile = per-lane-tile VMEM demand;
+    a T=32 bucket at n_sub=32 hit 22.3 MB and failed to compile, r4)."""
     n_pt = P // _LANES
-    n_sub = max_sub
+    n_sub = max(1, min(max_sub, budget // max(bytes_per_tile, 1)))
+    n_sub = 1 << (n_sub.bit_length() - 1)  # power of two
     while n_pt % n_sub:
         n_sub //= 2
     return n_pt // n_sub, n_sub
@@ -346,7 +351,16 @@ def cg_matvec16_bucket(J16, img_idx, cam_idx, Vinv,
     nj, T2, P = J16.shape
     NP = nj - 9
     T = T2 // 2
-    n_steps, n_sub = _subtile_split(P)
+    xg_rows = 6 + (0 if single_cam else NP)
+    # per-lane-tile VMEM: J block (x2 buffers) + ii/ci blocks (x2) + Vinv
+    # (x2) + the xg staging scratch
+    bytes_per_tile = (
+        nj * T2 * _LANES * 2 * 2
+        + 2 * T * _LANES * 4 * 2
+        + 6 * _LANES * 4 * 2
+        + xg_rows * T * _LANES * 4
+    )
+    n_steps, n_sub = _subtile_split(P, bytes_per_tile)
     W = n_sub * _LANES
     kernel = _make_matvec16_kernel(
         T, n_steps, n_sub, xpose_t.shape[1] // _LANES,

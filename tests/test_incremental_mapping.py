@@ -43,8 +43,13 @@ def make_synthetic_database(
     if mode == "loop":
         step = 0.3
         R_cam = num_images * step / (2 * np.pi)
-        R_pts = R_cam + 5.0
+        # radial DEPTH BAND, not a thin ring: near points (4) pin the
+        # short-baseline pairs, deep points (up to 20) stay visible across
+        # wider camera separations so the quadratic-overlap pairs have
+        # real correspondences (a thin ring at depth 5 limits the shared
+        # arc to ~±5 deg and the chain stays floppy)
         th = rng.uniform(0, 2 * np.pi, num_points)
+        R_pts = R_cam + rng.uniform(4.0, 20.0, num_points)
         points = np.stack(
             [
                 R_pts * np.cos(th),
@@ -138,10 +143,24 @@ def make_synthetic_database(
             db.write_descriptors(
                 image_ids[i], np.clip(d, 0, 255).astype(np.uint8)
             )
-        # verified pairs from ground-truth correspondences
+        # verified pairs from ground-truth correspondences; quadratic
+        # spacings mirror the reference sequential-matching default
+        # (SequentialMatchingOptions.quadratic_overlap=True,
+        # ref match_features.h:114-120) — without them a long chain is
+        # floppy and loop closure bends into a local minimum
+        quad = set()
+        if match_overlap is not None:
+            k = 1
+            while (1 << k) <= 4 * match_overlap:
+                quad.add(1 << k)
+                k += 1
         for i in range(num_images):
             for j in range(i + 1, num_images):
-                if match_overlap is not None and j - i > match_overlap:
+                if (
+                    match_overlap is not None
+                    and j - i > match_overlap
+                    and (j - i) not in quad
+                ):
                     continue
                 common, ii, jj = np.intersect1d(
                     kp_pid[i], kp_pid[j], return_indices=True

@@ -70,17 +70,25 @@ def _chunk_gather(table_ref, row, idx, T, n_chunks):
     """table[row, idx] for idx [T, 128] -> [T, 128] f32.
 
     Per 128-lane chunk of the table row: broadcast to [T, 128], lane-gather
-    with the in-chunk remainder, select by chunk membership.
+    with the in-chunk remainder, select by chunk membership. Small chunk
+    counts unroll; large ones (wide camera tables at 1000+ images) run as
+    a fori_loop so the compiler's live-temporary stack stays bounded (an
+    unrolled 16-chunk scan pushed scoped VMEM to 29 MB at C5 shapes, r4).
     """
-    out = jnp.zeros((T, _LANES), jnp.float32)
-    for c in range(n_chunks):
+    def chunk(c, out):
         src = jnp.broadcast_to(
-            table_ref[row, c * _LANES:(c + 1) * _LANES][None, :], (T, _LANES)
+            table_ref[row, pl.ds(c * _LANES, _LANES)][None, :], (T, _LANES)
         )
         rem = jnp.clip(idx - c * _LANES, 0, _LANES - 1)
         hit = (idx >= c * _LANES) & (idx < (c + 1) * _LANES)
-        out = jnp.where(hit, jnp.take_along_axis(src, rem, axis=1), out)
-    return out
+        return jnp.where(hit, jnp.take_along_axis(src, rem, axis=1), out)
+
+    out = jnp.zeros((T, _LANES), jnp.float32)
+    if n_chunks <= 4:
+        for c in range(n_chunks):
+            out = chunk(c, out)
+        return out
+    return jax.lax.fori_loop(0, n_chunks, chunk, out)
 
 
 def _tile_scatter(acc, vals, idx, T, n_chunks, precision="highest"):
@@ -354,11 +362,15 @@ def cg_matvec16_bucket(J16, img_idx, cam_idx, Vinv,
     xg_rows = 6 + (0 if single_cam else NP)
     # per-lane-tile VMEM: J block (x2 buffers) + ii/ci blocks (x2) + Vinv
     # (x2) + the xg staging scratch
+    n_ichunks = xpose_t.shape[1] // _LANES
     bytes_per_tile = (
         nj * T2 * _LANES * 2 * 2
         + 2 * T * _LANES * 4 * 2
         + 6 * _LANES * 4 * 2
         + xg_rows * T * _LANES * 4
+        # live temporaries of the chunked gathers grow with the unrolled
+        # chunk count (<=4; larger counts run as fori_loop)
+        + xg_rows * T * _LANES * 4 * min(n_ichunks, 4)
     )
     n_steps, n_sub = _subtile_split(P, bytes_per_tile)
     W = n_sub * _LANES

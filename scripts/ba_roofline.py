@@ -39,10 +39,7 @@ def main():
     from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
     from pycolmap_tpu.parallel.synthetic import make_synthetic_bundle
     from pycolmap_tpu.sfm import ba_kernels as bk
-    from pycolmap_tpu.sfm.bundle_adjustment import (
-        BundleAdjustmentOptions,
-        solve_bundle,
-    )
+    from pycolmap_tpu.sfm.bundle_adjustment import BundleAdjustmentOptions
 
     CG_ITERS = 20
     problem = make_synthetic_bundle(
@@ -70,17 +67,25 @@ def main():
     )
     cg_bytes_per_iter = j_bytes / 2  # bf16-packed J stream per matvec
 
-    # -- measure ----------------------------------------------------------
+    # -- measure (resident solver, unique device-side inputs per timed
+    # solve: the remote tunnel's result cache serves identical
+    # (executable, input) pairs without running) ---------------------------
+    from pycolmap_tpu.sfm.resident import ResidentBundleSolver
+
     options = BundleAdjustmentOptions()
     options.max_num_iterations = 20
     options.function_tolerance = 0.0
-    # warm
-    warm = BundleAdjustmentOptions()
-    warm.max_num_iterations = 20
-    solve_bundle(problem, warm, cg_iters=CG_ITERS)
-    t0 = time.perf_counter()
-    _, s = solve_bundle(problem, options, cg_iters=CG_ITERS)
-    dt = time.perf_counter() - t0
+    solver = ResidentBundleSolver(problem, options, cg_iters=CG_ITERS)
+    solver.solve()  # warm/compile
+    best = None
+    for eps in (2e-6, 3e-6):
+        solver.perturb_points(eps)
+        t0 = time.perf_counter()
+        s = solver.solve()
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, s)
+    dt, s = best
     iters = max(s.num_iterations, 1)
     per_iter = dt / iters
     print(f"warm solve: {iters} LM iters in {dt:.2f}s -> "

@@ -207,3 +207,52 @@ class TestVocabTreeMatching:
         # the cap bounds verified pairs: well under the uncapped ~n*overlap
         assert 1 <= db.num_verified_image_pairs <= 6
         db.close()
+
+
+def test_loop_scene_closure_candidates(tmp_path):
+    """mode='loop' synthetic scenes: sequential pairs + quadratic spacings
+    exist, no wrap-around pairs, and retrieval finds the seam revisit
+    (the C4/C5 loop-closure path of scripts/scale_test.py)."""
+    import sqlite3
+
+    from test_incremental_mapping import make_synthetic_database
+
+    from pycolmap_tpu.features.retrieval import detect_loops
+    from pycolmap_tpu.scene import Database
+
+    db_path = tmp_path / "loop.db"
+    make_synthetic_database(
+        db_path, num_images=120, num_points=5000, mode="loop",
+        match_overlap=6,
+    )
+    con = sqlite3.connect(db_path)
+    gaps = set()
+    for (pid,) in con.execute("select pair_id from two_view_geometries"):
+        i1, i2 = pid // 2147483647, pid % 2147483647
+        gaps.add(abs(i2 - i1))
+    con.close()
+    assert 1 in gaps and 6 in gaps
+    # some quadratic spacing beyond the linear window (deep-band points
+    # stay visible across wider separations)
+    assert any(g > 6 for g in gaps)
+    assert 119 not in gaps and 118 not in gaps  # no wrap-around matching
+
+    db = Database(db_path)
+    try:
+        ids = [
+            im.image_id
+            for im in sorted(db.read_all_images(), key=lambda im: im.name)
+        ]
+        ranked = detect_loops(
+            db, ids, period=1, num_images=3, min_sequence_gap=30,
+            min_score=0.12,
+        )
+    finally:
+        db.close()
+    hits = {(q, m) for q, cands in ranked for m, _ in cands}
+    # the seam: first and last frames see the same scene arc
+    assert any(
+        (min(q, m), max(q, m)) in {(ids[0], ids[-1]), (ids[1], ids[-1]),
+                                   (ids[0], ids[-2]), (ids[1], ids[-2])}
+        for q, m in hits
+    )

@@ -303,14 +303,9 @@ def _make_matvec16_kernel(T, n_steps, n_sub, n_ichunks, n_cchunks, NP,
         )
         vals = [J[k, :T] * d + J[k, T:] * d2 for k in range(nk)]
 
-        if single_cam:
-            for k in range(NP):
-                sk = jnp.sum(vals[6 + k], axis=0)  # [W]
-                sk = jnp.sum(
-                    sk.reshape(n_sub, _LANES), axis=0, keepdims=True
-                )
-                acci[k:k + 1, 0:_LANES] = acci[k:k + 1, 0:_LANES] + sk
-        # lane-granular one-hot scatters
+        # lane-granular one-hot scatters (+ the single-cam intr reduction,
+        # kept 2-D per subtile: a 1-D [W] -> [n_sub, 128] reshape hit
+        # Mosaic "unsupported shape cast" at some shapes, r4)
         for s in range(n_sub):
             sl = slice(s * _LANES, (s + 1) * _LANES)
             ii_s = ii_ref[:, sl]
@@ -318,7 +313,13 @@ def _make_matvec16_kernel(T, n_steps, n_sub, n_ichunks, n_cchunks, NP,
                 accp, [v[:, sl] for v in vals[:6]], ii_s, T, n_ichunks,
                 precision="default",
             )
-            if not single_cam:
+            if single_cam:
+                for k in range(NP):
+                    sk = jnp.sum(
+                        vals[6 + k][:, sl], axis=0, keepdims=True
+                    )  # [1, 128]
+                    acci[k:k + 1, 0:_LANES] = acci[k:k + 1, 0:_LANES] + sk
+            else:
                 ci_s = ci_ref[:, sl]
                 _tile_scatter(
                     acci, [v[:, sl] for v in vals[6:]], ci_s, T, n_cchunks,

@@ -671,22 +671,31 @@ def _extract_core(
             else None
         )
         if O > 1:
-            # compact (keypoint, orientation) slots valid-first and shrink
-            # the descriptor budget to 1.5x the keypoint budget: detection
-            # emits valid-first, but orientation expansion interleaves the
-            # mostly-invalid second orientations; the desc stage cost is
-            # per-slot (~3.6 us/slot, ROADMAP r3), so masked slots are
-            # pure waste
-            B2 = oct_budget + (oct_budget >> 1)
-            order = jnp.argsort(jnp.where(me, 0, 1), stable=True)[:B2]
-            xe = xe[order]
-            ye = ye[order]
-            le = le[order]
-            se = se[order]
-            th = th[order]
-            me = me[order]
+            # shrink the descriptor budget to 1.5x the keypoint budget
+            # WITHOUT sorting (argsort cost ~145 ms/extract, top_k with
+            # k~n little better): detection emits keypoints valid-first,
+            # so reorder orientation-MAJOR — all first orientations (valid
+            # -first by construction), then the extra orientations of only
+            # the top half of keypoints (highest scale/response, the ones
+            # COLMAP keeps under budget pressure). Pure slicing/concat.
+            Nk = x.shape[0]
+            take = (Nk >> 1) // max(O - 1, 1)
+
+            def compact(a2):
+                # a2 [Nk, O, ...] -> [Nk + (O-1)*take, ...]
+                return jnp.concatenate(
+                    [a2[:, 0]] + [a2[:take, o] for o in range(1, O)]
+                )
+
+            resh = lambda a: a.reshape((Nk, O) + a.shape[1:])  # noqa: E731
+            xe = compact(resh(xe))
+            ye = compact(resh(ye))
+            le = compact(resh(le))
+            se = compact(resh(se))
+            th = compact(resh(th))
+            me = compact(resh(me))
             if Ae is not None:
-                Ae = Ae[order]
+                Ae = compact(resh(Ae))
         if dsp_scales:
             # domain-size pooling (ref: extract_features.h dsp_* options):
             # average descriptors over scaled supports, then renormalize

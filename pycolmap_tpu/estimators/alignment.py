@@ -202,6 +202,11 @@ def align_reconstruction_to_locations(
     image_names[i] names a registered image whose projection center should
     map to locations[i]. Returns Sim3d (locations_from_src) or None
     (None-on-failure contract).
+
+    ``ransac_options.max_error`` is a distance threshold in LOCATION units
+    (metres for GPS), not pixels — the upstream API makes the caller supply
+    it for exactly this reason. When omitted, the pixel-scale default (4.0)
+    is used and a warning is logged; pass explicit options for real data.
     """
     if min_common_images < 3:
         raise ValueError("min_common_images must be >= 3")
@@ -225,8 +230,14 @@ def align_reconstruction_to_locations(
     dst_locations = np.asarray(dst_locations)
     if ransac_options is None:
         from pycolmap_tpu.estimators.ransac import RANSACOptions
+        from pycolmap_tpu.utils import logging as _logging
 
         ransac_options = RANSACOptions()
+        _logging.get_logger().warning(
+            "align_reconstruction_to_locations: no ransac_options given; "
+            f"using max_error={ransac_options.max_error} in LOCATION units "
+            "(scene-dependent) — pass explicit options for real data"
+        )
     tform, inlier_mask = estimate_sim3d_robust(
         src_centers, dst_locations, float(ransac_options.max_error)
     )

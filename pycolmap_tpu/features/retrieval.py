@@ -378,7 +378,15 @@ def build_visual_index(
     if vocab_tree_path:
         try:
             tree = VocabTree.load(vocab_tree_path)
-        except Exception:
+        except Exception as exc:
+            # truncated npz files raise arbitrary zlib/zipfile errors, so the
+            # catch stays broad — but retraining takes minutes, so say why
+            from pycolmap_tpu.utils import logging as _logging
+
+            _logging.get_logger().warning(
+                f"failed to load vocab tree {vocab_tree_path!r} "
+                f"({type(exc).__name__}: {exc}); retraining from scratch"
+            )
             tree = None  # unreadable/truncated tree -> retrain
     if tree is None:
         tree = VocabTree.train(

@@ -799,6 +799,12 @@ def epnp(x, X, w=None, gn_iters: int = 5):
     cov = jnp.einsum("...n,...ni,...nj->...ij", wn, A, A)
     lam, V = jnp.linalg.eigh(cov)  # ascending
     sig = jnp.sqrt(jnp.maximum(lam, eps))
+    # planar guard: for (near-)coplanar scenes the smallest sigma collapses
+    # the 4th control point onto the centroid and Cmat goes singular in f32;
+    # floor each sigma relative to the LARGEST so the control tetrahedron
+    # keeps finite volume (reference EPnP switches to a 3-control-point
+    # planar formulation; a relative floor keeps one batched code path)
+    sig = jnp.maximum(sig, sig[..., -1:] * 1e-3)
     ctrl_w = jnp.stack(
         [c0]
         + [c0 + sig[..., k, None] * V[..., :, k] for k in (2, 1, 0)],

@@ -1299,7 +1299,15 @@ def _put_sharded_last_axis(a, mesh):
     nproc = jax.process_count()
     pid = jax.process_index()
     n = a.shape[-1]
-    assert n % nproc == 0, (n, nproc)
+    # make_array_from_process_local_data splits the local slice across the
+    # process's LOCAL devices too, so the real requirement is divisibility
+    # by the total device count (a bare assert would vanish under -O)
+    if n % mesh.devices.size != 0:
+        raise ValueError(
+            f"sharded axis of size {n} is not divisible by the mesh's "
+            f"{mesh.devices.size} devices ({nproc} processes); pad the "
+            "point axis to a multiple of the device count"
+        )
     chunk = n // nproc
     local = a[..., pid * chunk:(pid + 1) * chunk]
     return jax.make_array_from_process_local_data(

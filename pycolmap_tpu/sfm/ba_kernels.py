@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pycolmap_tpu.ops import ba_math as bm
-from pycolmap_tpu.ops.camera_models import MAX_PARAMS
+from pycolmap_tpu.ops.camera_models import MAX_PARAMS, solver_num_params
 from pycolmap_tpu.sfm.bundle_adjustment import (
     BundleProblem,
     BASummary,
@@ -278,8 +278,35 @@ def _bucket_res_and_jac(model_id, bucket, q_obs, t_obs, k_obs, intr_free_obs):
     2-D distortion linearized by jvp (2 passes for d(dist)/d(u,v) plus one
     per ACTUAL extra parameter of the model). Replaces 21 full-chain jvps;
     cross-checked against :func:`_bucket_res_and_jac_jvp` in tests.
+
+    model_id may be a tuple (mixed-model bundle): each model's residual and
+    Jacobian are computed by this same analytic path and where-selected per
+    observation via the selector plane k_obs[mixed_sel_index(models)]. All
+    variants emit len(intr_free_obs) intrinsic columns (the mixed solver
+    width), so J shapes agree across models; columns beyond a model's own
+    parameter count are exact zeros.
     """
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+    from pycolmap_tpu.ops.camera_models import (
+        CAMERA_MODEL_BY_ID,
+        mixed_sel_index,
+    )
+
+    if isinstance(model_id, tuple):
+        sel = k_obs[mixed_sel_index(model_id)]
+        res_out = None
+        J_out = None
+        for m in model_id:
+            res_m, J_m = _bucket_res_and_jac(
+                m, bucket, q_obs, t_obs, k_obs, intr_free_obs
+            )
+            c = sel == m
+            res_out = (
+                res_m if res_out is None else jnp.where(c[None], res_m, res_out)
+            )
+            J_out = (
+                J_m if J_out is None else jnp.where(c[None, None], J_m, J_out)
+            )
+        return res_out, J_out
 
     info = CAMERA_MODEL_BY_ID[model_id]
     X = (
@@ -351,8 +378,13 @@ def _bucket_res_and_jac(model_id, bucket, q_obs, t_obs, k_obs, intr_free_obs):
     cols.append(col(B1x, B2x))
     cols.append(col(B1y, B2y))
     cols.append(col(B1z, B2z))
-    # intrinsics (NP actual columns only)
-    for j in range(NP):
+    # intrinsics: one column per SOLVER intrinsic plane (== NP for a
+    # single-model bundle; the mixed solver width otherwise, with exact-zero
+    # columns beyond this model's own count)
+    for j in range(len(intr_free_obs)):
+        if j >= NP:
+            cols.append(jnp.stack([zeros, zeros]))
+            continue
         if j in focal_cols:
             kind = focal_cols[j][0]
             if kind == "both":
@@ -408,9 +440,7 @@ def _bucket_res_and_jac_jvp(model_id, bucket, q_obs, t_obs, k_obs, intr_free_obs
     intr_free_obs masks the intr columns so fixed intrinsics get
     exactly-zero Jacobians.
     """
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
-
-    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    NP = len(intr_free_obs)  # solver intrinsic width (handles mixed tuples)
     T, P = bucket.mask.shape
     zeros = jnp.zeros((6, T, P), dtype=jnp.float32)
     zeros_i = jnp.zeros((NP, T, P), dtype=jnp.float32)
@@ -760,7 +790,6 @@ def _lm_solve_bucketed(
     num_cameras, model_id, loss_type, loss_scale, cg_iters, max_iterations,
     img2cam=None, knobs=None, eta=None,
 ):
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
     from pycolmap_tpu.sfm import cg_kernel as _ck
 
     if knobs is None:  # direct/profiling callers: resolve at trace time
@@ -775,7 +804,7 @@ def _lm_solve_bucketed(
     # camera-side reductions all use the model's ACTUAL parameter count
     # (MAX_PARAMS-wide J wastes up to 8/21 of its HBM traffic on all-zero
     # planes). The [C, MAX_PARAMS] public width is restored by the caller.
-    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    NP = solver_num_params(model_id)
     nk = 6 + NP
     intr0 = intr0[:, :NP]
     intr_free = intr_free[:, :NP]
@@ -921,6 +950,13 @@ def _lm_solve_bucketed(
         lam = jnp.where(improved, jnp.maximum(lam / 3.0, 1e-10), lam * 4.0)
         rel = (cost - cost_out) / jnp.maximum(cost, 1e-20)
         done = jnp.logical_or(done, jnp.logical_and(improved, rel < 1e-7))
+        # a step whose ATTEMPTED cost matches the current cost to <1e-7
+        # relative signals convergence even when rejected: re-solves on
+        # already-converged problems (the mapper's 2nd refinement rounds)
+        # otherwise burn ~24 iterations walking lambda from 1e-4 to the
+        # 1e10 bail-out (measured it=24-26 per 2nd round, r5)
+        att_rel = jnp.abs(new_cost - cost) / jnp.maximum(cost, 1e-20)
+        done = jnp.logical_or(done, att_rel < 1e-7)
         done = jnp.logical_or(done, lam > 1e10)
         return quat, trans, intr, pts_out, lam, cost_out, it + 1, done
 
@@ -1509,9 +1545,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
             problem.obs_camera_idx
         )[valid]
 
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
-
-    NP = CAMERA_MODEL_BY_ID[problem.model_id].num_params
+    NP = solver_num_params(problem.model_id)
     knobs = _env_knobs()
     if mesh is None:
         npts = tuple(b.points.shape[1] for b in buckets)

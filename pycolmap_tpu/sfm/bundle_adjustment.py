@@ -391,6 +391,11 @@ def _lm_core(problem: BundleProblem, loss_type: int, loss_scale, cg_iters: int,
         done = jnp.logical_or(
             done, jnp.logical_and(improved, rel_decrease < 1e-7)
         )
+        # rejected step with an attempted cost within 1e-7 relative of the
+        # current cost: converged (matches ba_kernels._finish_step; avoids
+        # walking lambda to 1e10 on re-solves of converged problems)
+        att_rel = jnp.abs(new_cost - cost) / jnp.maximum(cost, 1e-20)
+        done = jnp.logical_or(done, att_rel < 1e-7)
         done = jnp.logical_or(done, lam > 1e10)
         return quat, trans, intr, points, lam, cost_out, it + 1, done
 

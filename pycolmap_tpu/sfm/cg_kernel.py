@@ -629,9 +629,9 @@ def resjac_bucket(itab, ctab, img_idx, cam_idx, xy, mask, ptsf, scale,
     ctab [pad8(2*NP), Cp] rows 0..NP-1 intr^T | NP..2NP-1 intr_free^T;
     ptsf [4, P] rows xyz | point_free; scale [1, 1] SMEM robust-loss
     scale."""
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+    from pycolmap_tpu.ops.camera_models import solver_num_params
 
-    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    NP = solver_num_params(model_id)
     T, P = img_idx.shape
     n_pt = P // _LANES
     kernel = _make_resjac_kernel(
@@ -710,9 +710,9 @@ def cost_bucket(itab, ctab, img_idx, cam_idx, xy, mask, ptsf, scale,
     """One bucket's robust cost, lane-partial: returns [8, 128] whose row 0
     holds per-lane partial sums (caller sums). Table layouts as resjac_bucket
     (ctab intr_free rows are ignored here)."""
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+    from pycolmap_tpu.ops.camera_models import solver_num_params
 
-    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    NP = solver_num_params(model_id)
     T, P = img_idx.shape
     n_pt = P // _LANES
     kernel = _make_cost_kernel(
@@ -828,9 +828,9 @@ def finish_bucket(J, Vinv, g_pt, img_idx, cam_idx, xy, mask, ptsf,
     xtab_i [8, Ip] rows 0-5 = x_pose^T; xtab_c [pad8(NP), Cp] rows =
     x_intr^T; ntab_i/ntab_c: updated parameter tables (layout as
     resjac_bucket)."""
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+    from pycolmap_tpu.ops.camera_models import solver_num_params
 
-    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    NP = solver_num_params(model_id)
     nj = J.shape[1]
     assert nj == 9 + NP
     T, P = img_idx.shape
@@ -896,11 +896,11 @@ def res_and_jac(buckets, pts_list, quat, trans, intr, intr_free,
                 model_id, loss_type, loss_scale, interpret=None):
     """Fused robust-weighted residual+Jacobian over all buckets.
     Returns J_l with NP-narrow intrinsics blocks ([2, 9+NP, T, P])."""
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+    from pycolmap_tpu.ops.camera_models import solver_num_params
 
     if interpret is None:
         interpret = interpret_default()
-    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    NP = solver_num_params(model_id)
     itab, ctab = _param_tables(quat, trans, intr, intr_free, NP)
     scale = jnp.reshape(jnp.asarray(loss_scale, jnp.float32), (1, 1))
     res_l, J_l = [], []
@@ -918,11 +918,11 @@ def res_and_jac(buckets, pts_list, quat, trans, intr, intr_free,
 def total_cost(buckets, pts_list, quat, trans, intr, model_id, loss_type,
                loss_scale, interpret=None):
     """Fused robust total cost over all buckets (scalar)."""
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+    from pycolmap_tpu.ops.camera_models import solver_num_params
 
     if interpret is None:
         interpret = interpret_default()
-    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    NP = solver_num_params(model_id)
     itab, ctab = _param_tables(quat, trans, intr, None, NP)
     scale = jnp.reshape(jnp.asarray(loss_scale, jnp.float32), (1, 1))
     cost = jnp.float32(0.0)
@@ -942,11 +942,11 @@ def backsub_and_cost(buckets, pts_list, J_l, Vinv_l, g_pt_l, x_pose, x_intr,
     """Fused LM tail over all buckets: point back-substitution + robust cost
     at the updated parameters. x_intr is [C, NP]. Returns
     (new_pts_list, new_cost)."""
-    from pycolmap_tpu.ops.camera_models import CAMERA_MODEL_BY_ID
+    from pycolmap_tpu.ops.camera_models import solver_num_params
 
     if interpret is None:
         interpret = interpret_default()
-    NP = CAMERA_MODEL_BY_ID[model_id].num_params
+    NP = solver_num_params(model_id)
     I = x_pose.shape[0]
     C = x_intr.shape[0]
     xtab_i = _table_t(x_pose, _round_up(I, _LANES), 8)

@@ -39,6 +39,10 @@ class DatabaseCache:
         # (id1, id2) -> relative rotation angle [rad] from the stored
         # two-view geometry (0 when the matcher did not store a pose)
         self.pair_rotation = {}
+        # (id1, id2) -> (qvec wxyz, tvec) of cam2_from_cam1 for verified
+        # pairs that stored a pose — the pose-graph relaxation's relative
+        # rotation/translation measurements (sfm/pose_graph.py)
+        self.pair_pose = {}
 
     # above this many images, keypoint coordinate arrays stream from the DB
     # on first access instead of being materialized at load (pipeline/sfm.h
@@ -91,9 +95,10 @@ class DatabaseCache:
                 cache.correspondence_graph.add_image(img.image_id, n)
 
             rows = db._conn.execute(
-                "SELECT pair_id, rows, data, config, qvec FROM two_view_geometries"
+                "SELECT pair_id, rows, data, config, qvec, tvec"
+                " FROM two_view_geometries"
             ).fetchall()
-            for pair_id, nrows, data, config, qvec in rows:
+            for pair_id, nrows, data, config, qvec, tvec in rows:
                 if nrows is None or nrows < min_num_matches:
                     continue
                 if ignore_watermarks and config == int(C.WATERMARK):
@@ -114,6 +119,12 @@ class DatabaseCache:
                         cache.pair_rotation[(id1, id2)] = float(
                             2.0 * np.arccos(min(w, 1.0))
                         )
+                        if tvec:
+                            t = np.frombuffer(tvec, dtype=np.float64)
+                            if t.size == 3 and np.isfinite(t).all():
+                                cache.pair_pose[(id1, id2)] = (
+                                    q.copy(), t.copy()
+                                )
             cache.correspondence_graph.finalize()
         finally:
             db.close()

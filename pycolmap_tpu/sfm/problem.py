@@ -70,12 +70,25 @@ def build_bundle_problem(
 
     camera_ids = sorted({reconstruction.images[i].camera_id for i in image_ids})
     camera_index = {cid: k for k, cid in enumerate(camera_ids)}
-    model_names = {reconstruction.cameras[c].model for c in camera_ids}
-    if len(model_names) > 1:
-        raise NotImplementedError(
-            "mixed camera models in one bundle not yet supported"
-        )
-    model_id = cm.model_id_from_name(next(iter(model_names))) if camera_ids else 1
+    model_ids = sorted(
+        {
+            cm.model_id_from_name(reconstruction.cameras[c].model)
+            for c in camera_ids
+        }
+    )
+    # mixed camera models (ref camera.h:42-47 CAMERA_MODEL_CASES): the
+    # solver receives model_id as a tuple of the distinct ids plus one
+    # extra per-camera selector column (see ops/camera_models.py
+    # solver_num_params); a single-model bundle keeps the plain-int path
+    # (identical jit signatures to before — no recompiles)
+    if len(model_ids) <= 1:
+        model_id = model_ids[0] if model_ids else 1
+        intr_width = cm.MAX_PARAMS
+        sel_idx = None
+    else:
+        model_id = tuple(model_ids)
+        sel_idx = cm.mixed_sel_index(model_id)
+        intr_width = max(cm.MAX_PARAMS, sel_idx + 1)
 
     # collect observations of points seen by included images (vectorized:
     # one mask + gather per image, np.unique to build the point index — the
@@ -127,12 +140,17 @@ def build_bundle_problem(
         cam_quat[k] = [q[3], q[0], q[1], q[2]]
         cam_trans[k] = reconstruction.images[iid].cam_from_world.translation
 
-    intrinsics = np.zeros((max(num_c, 1), cm.MAX_PARAMS), dtype=np.float32)
-    intr_free = np.zeros((max(num_c, 1), cm.MAX_PARAMS), dtype=np.float32)
+    intrinsics = np.zeros((max(num_c, 1), intr_width), dtype=np.float32)
+    intr_free = np.zeros((max(num_c, 1), intr_width), dtype=np.float32)
     for cid, k in camera_index.items():
         cam = reconstruction.cameras[cid]
         intrinsics[k, : len(cam.params)] = cam.params
-        intr_free[k] = _intr_free_mask(cam, options)
+        intr_free[k, : cm.MAX_PARAMS] = _intr_free_mask(cam, options)
+        if sel_idx is not None:
+            # per-camera model selector (intr_free stays 0 there: the
+            # selector is structure, not a parameter)
+            intrinsics[k, sel_idx] = cm.model_id_from_name(cam.model)
+            intr_free[k, sel_idx] = 0.0
 
     points = np.zeros((max(num_p, 1), 3), dtype=np.float32)
     for pid, k in point_index.items():

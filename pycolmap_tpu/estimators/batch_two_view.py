@@ -253,5 +253,27 @@ def verify_pairs_batch(
         ):
             g.config = int(C.WATERMARK)
         g.inlier_matches = p["matches"][mask_b].astype(np.uint32)
+        if options.compute_relative_pose and g.config not in (
+            int(C.DEGENERATE), int(C.UNDEFINED), int(C.WATERMARK)
+        ):
+            # recover cam2_from_cam1 (ref two_view_geometry.h:153-160).
+            # estimate_two_view_geometry_pose indexes full keypoint arrays
+            # via inlier_matches; here we only hold the MATCHED coords, so
+            # hand it block-local indices and copy the pose back
+            from pycolmap_tpu.estimators.two_view_geometry import (
+                estimate_two_view_geometry_pose,
+            )
+
+            idx = np.nonzero(mask_b)[0].astype(np.uint32)
+            g_tmp = TwoViewGeometry()
+            g_tmp.config = g.config
+            g_tmp.E, g_tmp.F, g_tmp.H = g.E, g.F, g.H
+            g_tmp.inlier_matches = np.stack([idx, idx], axis=1)
+            if estimate_two_view_geometry_pose(
+                p["cam1"], p["x1_px"], p["cam2"], p["x2_px"], g_tmp
+            ):
+                g.cam2_from_cam1 = g_tmp.cam2_from_cam1
+                g.tri_angle = getattr(g_tmp, "tri_angle", 0.0)
+                g.config = g_tmp.config
         out.append(g)
     return out

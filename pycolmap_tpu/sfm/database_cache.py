@@ -121,7 +121,18 @@ class DatabaseCache:
                         )
                         if tvec:
                             t = np.frombuffer(tvec, dtype=np.float64)
-                            if t.size == 3 and np.isfinite(t).all():
+                            # identity qvec + zero tvec is the writer's
+                            # "no pose recorded" sentinel, not a
+                            # measurement — feeding it to the pose graph
+                            # would claim the pair has zero relative motion
+                            if (
+                                t.size == 3
+                                and np.isfinite(t).all()
+                                and not (
+                                    abs(q[0]) > 1.0 - 1e-12
+                                    and np.abs(t).max() < 1e-12
+                                )
+                            ):
                                 cache.pair_pose[(id1, id2)] = (
                                     q.copy(), t.copy()
                                 )

@@ -62,8 +62,11 @@ def add_loop_closures(db_path, verbose=True):
             }
         )
         t1 = time.time()
+        # compute_relative_pose: the pose-graph relaxation needs the
+        # closure pairs' relative rotations/translation directions
         matcher = _PairMatcher(
-            db, SiftMatchingOptions(), TwoViewGeometryOptions(), False
+            db, SiftMatchingOptions(),
+            TwoViewGeometryOptions(compute_relative_pose=True), False,
         )
         verified = sum(matcher.run(cands))
         t2 = time.time()

@@ -256,3 +256,94 @@ def test_loop_scene_closure_candidates(tmp_path):
                                    (ids[0], ids[-2]), (ids[1], ids[-2])}
         for q, m in hits
     )
+
+
+class TestDeviceRetrievalPaths:
+    """Device-side batched quantization + HKM levels (r5: retrieval moved
+    on-device; these run the same jitted functions on the CPU backend)."""
+
+    def test_quantize_batch_device_matches_flat_host(self):
+        from pycolmap_tpu.features import retrieval as rt
+
+        rng = np.random.default_rng(0)
+        centers = rt._unit_rows(
+            rng.normal(size=(64, 128)).astype(np.float32)
+        )
+        d_u8 = rng.integers(0, 256, (500, 128)).astype(np.uint8)
+        got = rt.quantize_batch_device(d_u8, centers, 1)[:, 0]
+        exp = np.argmax(
+            rt._unit_rows(d_u8.astype(np.float32)) @ centers.T, axis=1
+        )
+        assert (got == exp).mean() > 0.999  # f32 tie-breaks only
+
+    def test_quantize_batch_device_topk(self):
+        from pycolmap_tpu.features import retrieval as rt
+
+        rng = np.random.default_rng(1)
+        centers = rt._unit_rows(
+            rng.normal(size=(32, 128)).astype(np.float32)
+        )
+        d_u8 = rng.integers(0, 256, (100, 128)).astype(np.uint8)
+        got = rt.quantize_batch_device(d_u8, centers, 3)
+        sims = rt._unit_rows(d_u8.astype(np.float32)) @ centers.T
+        exp = np.argsort(-sims, axis=1)[:, :3]
+        assert (got == exp).mean() > 0.99
+
+    def test_hkm_level_device_converges_to_clusters(self):
+        import jax.numpy as jnp
+
+        from pycolmap_tpu.features import retrieval as rt
+
+        rng = np.random.default_rng(2)
+        B, K = 4, 4
+        true = rt._unit_rows(rng.normal(size=(K, 16)).astype(np.float32))
+        labels = rng.integers(0, K, 256)
+        descs = rt._unit_rows(
+            (true[labels] + rng.normal(0, 0.05, (256, 16))).astype(
+                np.float32
+            )
+        )
+        if rt._hkm_level_jit is None:
+            rt._hkm_level_jit = rt._jit_hkm_level()
+        seed_idx = [np.nonzero(labels == k)[0][0] for k in range(K)]
+        centers0 = descs[seed_idx]
+        centers, child = rt._hkm_level_jit(
+            jnp.asarray(descs), jnp.zeros(256, jnp.int32),
+            jnp.asarray(centers0), B, K, 8, 4,
+        )
+        centers = np.asarray(centers)
+        child = np.asarray(child)
+        # every cluster recovered: each true center has a near-identical
+        # learned center, and assignments agree with the labels
+        sim = centers @ true.T
+        assert (sim.max(axis=0) > 0.99).all()
+        remap = sim.argmax(axis=0)
+        assert (remap[labels] == child).mean() > 0.95
+
+    def test_device_trained_tree_retrieves(self):
+        """End-to-end: force the device-train path on the CPU backend and
+        check retrieval quality survives."""
+        from pycolmap_tpu.features import retrieval as rt
+
+        rng = np.random.default_rng(3)
+        anchors = rng.integers(20, 235, (80, 128))
+        sample = rt._unit_rows(
+            (
+                np.repeat(anchors, 8, axis=0)
+                + rng.integers(-4, 5, (640, 128))
+            ).astype(np.float32)
+        )
+        tree = rt.VocabTree.train(
+            sample, branching=4, depth=2, use_device=True
+        )
+        assert tree.num_words == 16
+        # two noisy views of the same anchors quantize consistently
+        v1 = rt._unit_rows(
+            (anchors + rng.integers(-4, 5, anchors.shape)).astype(np.float32)
+        )
+        v2 = rt._unit_rows(
+            (anchors + rng.integers(-4, 5, anchors.shape)).astype(np.float32)
+        )
+        w1 = tree.quantize(v1)[:, 0]
+        w2 = tree.quantize(v2)[:, 0]
+        assert (w1 == w2).mean() > 0.8

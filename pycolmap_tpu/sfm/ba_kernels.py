@@ -788,7 +788,7 @@ def _env_knobs():
 def _lm_solve_bucketed(
     buckets, quat0, trans0, intr0, pose_free, intr_free, num_images,
     num_cameras, model_id, loss_type, loss_scale, cg_iters, max_iterations,
-    img2cam=None, knobs=None, eta=None,
+    img2cam=None, knobs=None, eta=None, cam_mesh=None,
 ):
     from pycolmap_tpu.sfm import cg_kernel as _ck
 
@@ -810,6 +810,26 @@ def _lm_solve_bucketed(
     intr_free = intr_free[:, :NP]
     use_onehot = I <= _ONEHOT_MAX_SEGMENTS
     use_pallas = use_pallas_knob
+    # camera-block sharding (SURVEY §2c P4 level 2, VERDICT r4 missing #3):
+    # when cam_mesh is set, the camera-side CG state ([I, 6] vectors and
+    # [I, 6, 6] preconditioner blocks) is ROW-SHARDED over the mesh via
+    # sharding constraints — per-device camera memory O(I/D); GSPMD inserts
+    # the I*6*4-byte all_gather of x at the per-observation contraction and
+    # psums for the reduced-system partials. Pallas kernels have no SPMD
+    # partitioning rules, so camera sharding forces the XLA path.
+    if cam_mesh is not None:
+        use_pallas = False
+
+    def _rowshard(x):
+        if cam_mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = cam_mesh.axis_names[0]
+        spec = P(*([ax] + [None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(cam_mesh, spec)
+        )
     # Per-bucket engine choice: the fused Pallas kernels (res+jac, prepare,
     # matvec, backsub+cost) win on big buckets, but every fresh (T, P)
     # kernel shape costs a minutes-scale Mosaic remote compile — and the
@@ -975,10 +995,13 @@ def _lm_solve_bucketed(
             if i != j:
                 S_full = S_full.at[:, j, i].set(S_blocks[:, k])
         S_full = S_full + jax.vmap(jnp.diag)(damp_pose + 1e-8)
-        P_inv = jnp.linalg.inv(S_full + 1e-6 * jnp.eye(6))
+        P_inv = _rowshard(jnp.linalg.inv(S_full + 1e-6 * jnp.eye(6)))
 
         def precond(r_pose, r_intr):
-            p_pose = jnp.einsum("iab,ib->ia", P_inv, r_pose) * pose_free
+            p_pose = _rowshard(
+                jnp.einsum("iab,ib->ia", P_inv, _rowshard(r_pose))
+                * pose_free
+            )
             denom = U_diag_intr + damp_intr
             p_intr = r_intr / jnp.where(denom < 1e-8, 1.0, denom)
             return p_pose, p_intr * intr_free
@@ -1064,11 +1087,12 @@ def _lm_solve_bucketed(
         def cg_body(carry):
             x_pose, x_intr, r_pose, r_intr, p_pose, p_intr, rz, it = carry
             Ap_pose, Ap_intr = matvec(p_pose, p_intr)
+            Ap_pose = _rowshard(Ap_pose)
             pAp = jnp.sum(p_pose * Ap_pose) + jnp.sum(p_intr * Ap_intr)
             alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
-            x_pose = x_pose + alpha * p_pose
+            x_pose = _rowshard(x_pose + alpha * p_pose)
             x_intr = x_intr + alpha * p_intr
-            r_pose = r_pose - alpha * Ap_pose
+            r_pose = _rowshard(r_pose - alpha * Ap_pose)
             r_intr = r_intr - alpha * Ap_intr
             z_pose, z_intr = precond(r_pose, r_intr)
             rz_new = jnp.sum(r_pose * z_pose) + jnp.sum(r_intr * z_intr)
@@ -1261,19 +1285,28 @@ def _lm_solve_bucketed(
     jax.jit,
     static_argnames=(
         "num_images", "num_cameras", "model_id", "loss_type", "cg_iters",
-        "max_iterations", "knobs",
+        "max_iterations", "knobs", "cam_mesh",
     ),
 )
 def _solve_bucketed_jit(
     buckets, quat0, trans0, intr0, pose_free, intr_free,
     num_images, num_cameras, model_id, loss_type, loss_scale,
     cg_iters, max_iterations, img2cam=None, knobs=None, eta=None,
+    cam_mesh=None,
 ):
     return _lm_solve_bucketed(
         buckets, quat0, trans0, intr0, pose_free, intr_free,
         num_images, num_cameras, model_id, loss_type, loss_scale,
         cg_iters, max_iterations, img2cam=img2cam, knobs=knobs, eta=eta,
+        cam_mesh=cam_mesh,
     )
+
+
+# camera-block sharding threshold: below this many (padded) images the
+# camera state is small enough that replication beats the all_gather per
+# CG iteration; above it, rows shard O(I/D) (VERDICT r4 missing #3)
+def _cam_shard_min() -> int:
+    return int(os.environ.get("PYCOLMAP_TPU_BA_CAM_SHARD_MIN", 2048))
 
 
 @partial(
@@ -1581,6 +1614,7 @@ def solve_bundle_fast(problem: BundleProblem, options, cg_iters: int = 30,
             cg_iters, int(options.max_num_iterations),
             img2cam=img2cam, knobs=knobs,
             eta=jnp.float32(getattr(options, "eta", 0.1)),
+            cam_mesh=mesh if I_pad >= _cam_shard_min() else None,
         )
         if _mesh_is_multiprocess(mesh):
             # point outputs are shard-local per process; replicate on device

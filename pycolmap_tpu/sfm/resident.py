@@ -234,6 +234,9 @@ class ResidentBundleSolver:
             self._cg_iters, max_iters,
             img2cam=None, knobs=self._knobs,
             eta=jnp.float32(getattr(options, "eta", 0.1)),
+            cam_mesh=(
+                self._mesh if self._I_pad >= bk._cam_shard_min() else None
+            ),
         )
         self._d_quat, self._d_trans = quat, trans
         # the solver returns NP-narrow intrinsics; fold into the resident

@@ -1,6 +1,7 @@
 """Camera-block sharding (two-level Schur first cut; VERDICT r3 #3)."""
 
 import numpy as np
+import pytest
 
 from pycolmap_tpu.parallel.camera_sharding import (
     assign_cameras_block_cyclic,
@@ -45,3 +46,69 @@ def test_two_level_schur_solve_matches_dense():
     x_ref = np.linalg.solve(S.astype(np.float64), rhs.astype(np.float64))
     rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
     assert rel < 1e-3
+
+
+def test_cam_sharded_cg_matches_replicated(monkeypatch):
+    """Camera-state sharding in the production solver (r5: _cg_phase row-
+    shards [I, 6] CG state + [I, 6, 6] preconditioner when I_pad >=
+    PYCOLMAP_TPU_BA_CAM_SHARD_MIN): same solution as the replicated path,
+    and the compiled module contains the expected all-gather."""
+    import jax
+    from jax.sharding import Mesh
+
+    from pycolmap_tpu.parallel.synthetic import make_synthetic_bundle
+    from pycolmap_tpu.sfm.bundle_adjustment import (
+        BundleAdjustmentOptions,
+        solve_bundle,
+    )
+
+    mesh = Mesh(np.array(jax.devices()), ("obs",))
+    problem = make_synthetic_bundle(
+        num_images=512, num_points=2048, obs_per_point=4,
+        pose_noise=0.02, point_noise=0.04, seed=11,
+    )
+    opts = BundleAdjustmentOptions()
+    opts.max_num_iterations = 4
+    opts.devices = "none"
+
+    monkeypatch.setenv("PYCOLMAP_TPU_BA_CAM_SHARD_MIN", "100000")
+    p_rep, s_rep = solve_bundle(problem, opts, cg_iters=10, mesh=mesh)
+    monkeypatch.setenv("PYCOLMAP_TPU_BA_CAM_SHARD_MIN", "256")
+    p_sh, s_sh = solve_bundle(problem, opts, cg_iters=10, mesh=mesh)
+
+    assert s_sh.final_cost == pytest.approx(s_rep.final_cost, rel=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(p_sh.cam_trans), np.asarray(p_rep.cam_trans), atol=1e-3
+    )
+
+
+def test_cam_sharding_inserts_all_gather(monkeypatch):
+    """The sharded lowering actually distributes: GSPMD emits all-gather /
+    collective ops for the camera-state row shards."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from pycolmap_tpu.parallel.synthetic import make_synthetic_bundle
+    from pycolmap_tpu.sfm import ba_kernels as bk
+
+    mesh = Mesh(np.array(jax.devices()), ("obs",))
+    problem = make_synthetic_bundle(
+        num_images=512, num_points=1024, obs_per_point=4, seed=3,
+    )
+    buckets, _, _, _ = bk._bucketize_cached(problem, mesh)
+    I_pad = bk._pad_4x(problem.num_images, 8)
+    C_pad = bk._pad_4x(problem.num_cameras, 1)
+    quat = np.zeros((I_pad, 4), np.float32); quat[:, 0] = 1
+    kw = dict(
+        img2cam=None, knobs=bk._env_knobs(), eta=jnp.float32(0.1),
+        cam_mesh=mesh,
+    )
+    lowered = bk._solve_bucketed_jit.lower(
+        buckets, quat[: I_pad], np.zeros((I_pad, 3), np.float32),
+        np.ones((C_pad, 12), np.float32),
+        np.ones((I_pad, 6), np.float32), np.zeros((C_pad, 12), np.float32),
+        I_pad, C_pad, problem.model_id, 0, jnp.float32(1.0), 5, 2, **kw,
+    )
+    txt = lowered.compile().as_text()
+    assert ("all-gather" in txt) or ("all-reduce" in txt)

@@ -176,9 +176,24 @@ def verify_pairs_batch(
     """
     if options is None:
         options = TwoViewGeometryOptions()
-    B = len(pair_data)
-    if B == 0:
+    B_real = len(pair_data)
+    if B_real == 0:
         return []
+    # pad the pair count to a pow2 ladder: B is a compiled shape, and the
+    # last flush of a matching run otherwise presents an arbitrary
+    # remainder (measured r5: a 13-pair final block cost a fresh ~minutes
+    # remote compile). Dummy pairs have zero valid rows -> DEGENERATE.
+    B = 1 << (B_real - 1).bit_length()
+    pair_data = list(pair_data) + [
+        {
+            "x1_px": np.zeros((0, 2), np.float32),
+            "x2_px": np.zeros((0, 2), np.float32),
+            "cam1": pair_data[0]["cam1"],
+            "cam2": pair_data[0]["cam2"],
+            "matches": np.zeros((0, 2), np.uint32),
+        }
+        for _ in range(B - B_real)
+    ]
     N = max(max(len(p["x1_px"]) for p in pair_data), 16)
     N = 1 << (N - 1).bit_length()
     x1_px = np.zeros((B, N, 2), dtype=np.float32)
@@ -200,7 +215,7 @@ def verify_pairs_batch(
         )
     # single normalized threshold per block (max keeps behavior permissive;
     # per-pair thresholds would need a [B] thr tensor — done via mean here)
-    thr_norm_sq = float(np.mean(thr_norm) ** 2)
+    thr_norm_sq = float(np.mean(thr_norm[:B_real]) ** 2)
 
     import sys as _sys
 
@@ -222,6 +237,7 @@ def verify_pairs_batch(
 
     out = []
     C = TwoViewGeometryConfiguration
+    pair_data = pair_data[:B_real]  # drop the shape-padding dummies
     for b, p in enumerate(pair_data):
         n = len(p["x1_px"])
         g = TwoViewGeometry()

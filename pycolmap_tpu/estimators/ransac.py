@@ -136,6 +136,13 @@ class BatchedLORANSAC:
         self.name = name
         self._chunk_jit = jax.jit(self._run_chunk)
         self._refit_jit = jax.jit(self._run_refit) if refit_solver else None
+        # fused chunk + in-jit LO loop: the host LO orchestration cost 2-3
+        # blocking ~20 ms tunnel round trips per estimate on top of the
+        # chunk's one — for mapper registration (one chunk, always-LO) the
+        # fused program is a single dispatch (r5)
+        self._chunk_lo_jit = (
+            jax.jit(self._run_chunk_lo) if refit_solver else None
+        )
 
     def _dispatch(self, jf, tag, *args):
         if self.name is None:
@@ -217,6 +224,39 @@ class BatchedLORANSAC:
             residuals.reshape((-1, n))[best_flat],
         )
 
+    def _run_chunk_lo(self, key, max_error_sq, valid_mask, *data):
+        """Chunk + the full LO refit loop in ONE program. Equivalent to the
+        host loop: weights from the incumbent's residuals, keep-best; a
+        refit that does not improve leaves the carry unchanged (the next
+        iteration then recomputes identical weights and is a no-op)."""
+        init = self._run_chunk(key, max_error_sq, valid_mask, *data)
+
+        def lo_body(carry, _):
+            model, num_inl, capped, residuals = carry
+            weights = (
+                (residuals <= max_error_sq) & (valid_mask > 0)
+            ).astype(jnp.float32)
+            enough = jnp.sum(weights) >= self.sample_size
+            r_model, r_inl, r_cap, r_res = self._run_refit(
+                weights, max_error_sq, valid_mask, *data
+            )
+            better = enough & (
+                (r_inl > num_inl)
+                | ((r_inl == num_inl) & (r_cap < capped))
+            )
+            model = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, b, a), model, r_model
+            )
+            num_inl = jnp.where(better, r_inl, num_inl)
+            capped = jnp.where(better, r_cap, capped)
+            residuals = jnp.where(better, r_res, residuals)
+            return (model, num_inl, capped, residuals), None
+
+        carry, _ = jax.lax.scan(
+            lo_body, init, None, length=self.num_lo_iterations
+        )
+        return carry
+
     # -- host orchestration --------------------------------------------------
     @staticmethod
     def _pad_pow2(n, lo=256):
@@ -262,6 +302,7 @@ class BatchedLORANSAC:
 
         key = jax.random.PRNGKey(seed)
         best = None  # (num_inliers, capped, model, residuals)
+        best_lo_done = False
         trials = 0
         max_trials = min(
             options.max_num_trials,
@@ -274,20 +315,27 @@ class BatchedLORANSAC:
                 options.dyn_num_trials_multiplier,
             ),
         )
+        first = True
         while trials < max_trials:
             key, sub = jax.random.split(key)
-            # one round trip: fetch every chunk output together
+            # one round trip: fetch every chunk output together. The first
+            # chunk runs the FUSED chunk+LO program (the common case — a
+            # confident first chunk — then needs no further dispatches);
+            # later chunks run plain, with host LO on the final best.
+            if first and self._chunk_lo_jit is not None:
+                jf, tag = self._chunk_lo_jit, "chunk_lo"
+            else:
+                jf, tag = self._chunk_jit, "chunk"
             model, num_inl, capped, residuals = jax.device_get(
-                self._dispatch(
-                    self._chunk_jit, "chunk", sub, max_error_sq, valid_mask,
-                    *data,
-                )
+                self._dispatch(jf, tag, sub, max_error_sq, valid_mask, *data)
             )
             num_inl = int(num_inl)
             capped_f = float(capped)
             trials += self.chunk_size
             if best is None or (num_inl, -capped_f) > (best[0], -best[1]):
                 best = (num_inl, capped_f, model, residuals)
+                best_lo_done = first and self._chunk_lo_jit is not None
+            first = False
             if trials >= options.min_num_trials or trials >= max_trials:
                 needed = dyn_num_trials(
                     best[0], n, self.sample_size,
@@ -300,7 +348,9 @@ class BatchedLORANSAC:
 
         num_inl, capped_f, model, residuals = best
         # -- local optimization: iterative weighted refit on inliers --------
-        if self._refit_jit is not None:
+        # (skipped when the winning model already went through the fused
+        # in-jit LO loop)
+        if self._refit_jit is not None and not best_lo_done:
             for _ in range(self.num_lo_iterations):
                 weights = (
                     (np.asarray(residuals) <= float(max_error_sq))

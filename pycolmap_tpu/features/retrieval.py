@@ -123,9 +123,25 @@ def quantize_batch_device(descs_u8, centers, num_neighbors: int = 1):
 
     if _quantize_chunk_jit is None:
         _quantize_chunk_jit = _jit_quantize_chunk()
+    import sys as _sys
+
+    from pycolmap_tpu.utils import aot_cache
+
     N = len(descs_u8)
     centers_t = jnp.asarray(np.ascontiguousarray(centers.T, np.float32))
+    salt = aot_cache.source_salt(_sys.modules[__name__])
     out = np.empty((N, num_neighbors), np.int32)
+
+    def run(chunk):
+        # persistent-executable dispatch: a fresh mapping process would
+        # otherwise re-pay this signature's remote compile per run
+        return np.asarray(
+            aot_cache.cached_call(
+                _quantize_chunk_jit, "retrieval_quant", salt,
+                {"nn": num_neighbors}, jnp.asarray(chunk), centers_t,
+            )
+        )
+
     for s in range(0, N, _QUANT_CHUNK):
         e = min(N, s + _QUANT_CHUNK)
         chunk = descs_u8[s:e]
@@ -133,18 +149,9 @@ def quantize_batch_device(descs_u8, centers, num_neighbors: int = 1):
             # pad to the steady chunk shape: one compiled signature
             pad = np.zeros((_QUANT_CHUNK, chunk.shape[1]), chunk.dtype)
             pad[: e - s] = chunk
-            ids = np.asarray(
-                _quantize_chunk_jit(
-                    jnp.asarray(pad), centers_t, num_neighbors
-                )
-            )[: e - s]
+            out[s:e] = run(pad)[: e - s]
         else:
-            ids = np.asarray(
-                _quantize_chunk_jit(
-                    jnp.asarray(chunk), centers_t, num_neighbors
-                )
-            )
-        out[s:e] = ids
+            out[s:e] = run(chunk)
     return out
 
 
@@ -311,6 +318,9 @@ class VocabTree:
                     _hkm_level_jit = _jit_hkm_level()
                 chunk = 1 << 15
                 n_chunks = max(1, (N + chunk - 1) // chunk)
+                # pow2 chunk counts: n_chunks is a jit static, so padding
+                # to {1,2,4,8,...} bounds the compile ladder per level
+                n_chunks = 1 << (n_chunks - 1).bit_length()
                 N_pad = n_chunks * chunk
                 d_pad = descs
                 p_pad = parent.astype(np.int32)
@@ -325,9 +335,16 @@ class VocabTree:
                         [p_pad,
                          np.full(N_pad - N, branching ** lvl, np.int32)]
                     )
-                c_dev, child_dev = _hkm_level_jit(
+                import sys as _sys
+
+                from pycolmap_tpu.utils import aot_cache
+
+                c_dev, child_dev = aot_cache.cached_call(
+                    _hkm_level_jit, "retrieval_hkm",
+                    aot_cache.source_salt(_sys.modules[__name__]),
+                    dict(B=branching, K=K, iters=iters, n_chunks=n_chunks),
                     jnp.asarray(d_pad), jnp.asarray(p_pad),
-                    jnp.asarray(centers), branching, K, iters, n_chunks,
+                    jnp.asarray(centers),
                 )
                 centers = np.asarray(c_dev)
                 child = np.asarray(child_dev)[:N].astype(np.int64)

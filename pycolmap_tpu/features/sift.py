@@ -618,6 +618,11 @@ def _extract_core(
 ):
     """Full SIFT for one image. Returns padded keypoints/descs + mask."""
     img = image.astype(jnp.float32)
+    if image.dtype == jnp.uint8:
+        # uint8 input crosses the remote tunnel 4x smaller than f32 (the
+        # 960x1280 f32 upload alone cost ~100 ms of the 185 ms whole-
+        # extract wall, r4); normalize on device
+        img = img * (1.0 / 255.0)
 
     # base image at first octave
     if first_octave < 0:
@@ -808,6 +813,22 @@ class Sift:
                 img = img / 255.0
         return img
 
+    @staticmethod
+    def _to_device_input(image: np.ndarray) -> np.ndarray:
+        """Keep grayscale uint8 images raw: the device normalizes, and the
+        H2D transfer is 4x smaller (the dominant whole-extract cost through
+        the remote tunnel). Everything else goes through the float path."""
+        img = np.asarray(image)
+        if img.ndim == 2 and img.dtype == np.uint8:
+            return img
+        if img.ndim == 3 and img.dtype == np.uint8:
+            # integer mean keeps the u8 transfer win; <=1/255 off the
+            # float mean, far below SIFT's noise floor
+            return (
+                img.astype(np.uint16).sum(axis=2) // img.shape[2]
+            ).astype(np.uint8)
+        return Sift._to_gray_float(image)
+
     def _static_params(self, h: int, w: int):
         opts = self.options
         max_dim = max(h, w) * (2 if opts.first_octave < 0 else 1)
@@ -852,7 +873,7 @@ class Sift:
         Returns (keypoints Nx4 [x, y, scale, orientation], descriptors
         Nx128 float32).
         """
-        img = self._to_gray_float(image)
+        img = self._to_device_input(image)
         h, w = img.shape
         out = _cached_extract(_extract_jit, "sift1", img,
                               self._static_params(h, w))
@@ -867,7 +888,12 @@ class Sift:
         """
         if not images:
             return []
-        grays = [self._to_gray_float(im) for im in images]
+        grays = [self._to_device_input(im) for im in images]
+        if len({g.dtype for g in grays}) > 1:
+            grays = [
+                g.astype(np.float32) / 255.0 if g.dtype == np.uint8 else g
+                for g in grays
+            ]
         h, w = grays[0].shape
         for g in grays:
             if g.shape != (h, w):

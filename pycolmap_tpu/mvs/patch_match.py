@@ -254,7 +254,7 @@ def make_pallas_view_costs(
     ref, srcs, rays, Ks_all, R_rel, t_rel, Kr,
     w_off, ref_off, w_sum, ref_mean, ref_var, offsets, sigma_color,
     geom_consistency, src_depths, geom_w, geom_max_cost, window_radius,
-    interpret=None,
+    interpret=None, pack_pairs=True,
 ):
     """Build a view_costs(depth, normal) closure over the Pallas kernel.
 
@@ -309,6 +309,7 @@ def make_pallas_view_costs(
             src_pad, sdep_pad, w_pad, wr_pad, d_pad, n_pad, stats_pad,
             params, offs, y0, x0, H, W,
             geom=geom_consistency, interpret=interpret,
+            pack_pairs=pack_pairs,
         )
         return cost[:, :H, :W]
 

@@ -81,6 +81,60 @@ def _band_chunks(band):
     return chunks, chunks1
 
 
+def _band_chunks_packed(band):
+    """Pack the two x-taps (band[y, x], band[y, x+1]) as round-to-nearest
+    bf16 halves of ONE int32 plane (ROADMAP r4 Perf #3): a single
+    dynamic_gather then fetches both bilinear x-taps — half the gather
+    count of the f32 path. Sample quantization is 2^-9 relative (bf16 with
+    rounding), ~1e-3 on NCC costs — below the invalid-cost scale."""
+    BY, BX = band.shape
+    shift = jnp.concatenate(
+        [band[:, 1:], jnp.zeros((BY, 1), jnp.float32)], axis=1
+    )
+
+    def bf16_bits(x):
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        # round-to-nearest-even is overkill; round-half-up halves the
+        # truncation error for one add
+        return (u + 0x8000) & jnp.uint32(0xFFFF0000)
+
+    packed = jax.lax.bitcast_convert_type(
+        bf16_bits(band) | (bf16_bits(shift) >> 16), jnp.int32
+    )
+    return tuple(
+        packed[:, s * 128:(s + 1) * 128] for s in range(BX // 128)
+    )
+
+
+def _gather_row_sample_packed(pchunks, rv, ru, valid):
+    """Packed-pair variant of :func:`_gather_row_sample`: one int32 lane
+    gather per chunk yields both x-taps (bf16 halves)."""
+    BY = pchunks[0].shape[0]
+    ruc = jnp.clip(ru, 0.0, BAND_X - 1.001)
+    x0 = jnp.floor(ruc)
+    fx = (ruc - x0)[None, :]
+    idx = jnp.broadcast_to(
+        x0.astype(jnp.int32)[None, :], (BY, TILE_X)
+    )
+    gp = jnp.zeros((BY, TILE_X), jnp.int32)
+    for s, pc in enumerate(pchunks):
+        rem = jnp.clip(idx - s * 128, 0, 127)
+        inseg = (idx >= s * 128) & (idx < (s + 1) * 128)
+        gp = jnp.where(inseg, jnp.take_along_axis(pc, rem, axis=1), gp)
+    gu = jax.lax.bitcast_convert_type(gp, jnp.uint32)
+    g0 = jax.lax.bitcast_convert_type(
+        gu & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    g1 = jax.lax.bitcast_convert_type(gu << 16, jnp.float32)
+    gx = g0 + (g1 - g0) * fx
+    iy = jax.lax.broadcasted_iota(jnp.int32, (BY, TILE_X), 0).astype(
+        jnp.float32
+    )
+    rvm = jnp.where(valid, rv, -2.0)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(rvm[None, :] - iy))
+    return jnp.sum(ty * gx, axis=0)
+
+
 def _gather_row_sample(chunks, chunks1, rv, ru, valid):
     """Exact bilinear sample of the band for one output row (pixels in
     LANES throughout — no transposes/relayouts). rv/ru/valid [TILE_X] in
@@ -125,7 +179,17 @@ def _gather_tile_sample(chunks, chunks1, rv, ru, valid):
     )
 
 
-def _make_kernel(H, W, geom, num_tx):
+def _gather_tile_sample_packed(pchunks, rv, ru, valid):
+    """[TILE_Y, TILE_X] bilinear sample from bf16-pair-packed chunks."""
+    return jnp.stack(
+        [
+            _gather_row_sample_packed(pchunks, rv[i], ru[i], valid[i])
+            for i in range(TILE_Y)
+        ]
+    )
+
+
+def _make_kernel(H, W, geom, num_tx, pack_pairs=True):
     """Returns the kernel fn closed over static geometry.
 
     H, W: true image sizes (un-padded); geom: include the forward-backward
@@ -134,6 +198,10 @@ def _make_kernel(H, W, geom, num_tx):
     kernel body stays one-offset-sized regardless of window size (an
     unrolled 36-offset variant took >10 min of Mosaic compile through the
     remote-compile tunnel).
+
+    pack_pairs: bf16-pair-packed photometric band (half the gathers per
+    sample, ~2^-9 sample quantization); source DEPTH bands always stay
+    f32 — quantized depths would bias the geometric-consistency term.
     """
 
     def kernel(y0_ref, x0_ref, params_ref, offs_ref, src_ref, sdep_ref,
@@ -186,7 +254,10 @@ def _make_kernel(H, W, geom, num_tx):
 
         zero = jnp.zeros((TILE_Y, TILE_X), jnp.float32)
         cp_band.wait()
-        chunks, chunks1 = _band_chunks(band[:])
+        if pack_pairs:
+            pchunks = _band_chunks_packed(band[:])
+        else:
+            chunks, chunks1 = _band_chunks(band[:])
         nw = w_ref.shape[0]
 
         def offset_body(i, carry):
@@ -211,7 +282,10 @@ def _make_kernel(H, W, geom, num_tx):
                 & (ru >= 0.0) & (ru <= BAND_X - 1.001)
                 & (m2 > 0)
             )
-            s = _gather_tile_sample(chunks, chunks1, rv, ru, ok)
+            if pack_pairs:
+                s = _gather_tile_sample_packed(pchunks, rv, ru, ok)
+            else:
+                s = _gather_tile_sample(chunks, chunks1, rv, ru, ok)
             okf = ok.astype(jnp.float32)
             wk = w_ref[i] * okf  # bilateral weight (spatial x color), DMA'd
             return (
@@ -285,11 +359,11 @@ def _make_kernel(H, W, geom, num_tx):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("H", "W", "geom", "interpret"),
+    static_argnames=("H", "W", "geom", "interpret", "pack_pairs"),
 )
 def pm_view_costs_pallas(
     src_pad, sdep_pad, w_pad, wr_pad, d_pad, n_pad, stats_pad, params,
-    offs, y0, x0, H, W, geom=False, interpret=False,
+    offs, y0, x0, H, W, geom=False, interpret=False, pack_pairs=True,
 ):
     """Per-view PatchMatch window costs for one candidate plane field.
 
@@ -307,7 +381,7 @@ def pm_view_costs_pallas(
     K, Hp, Wp = src_pad.shape
     nw = w_pad.shape[0]
     nty, ntx = Hp // TILE_Y, Wp // TILE_X
-    kernel = _make_kernel(H, W, geom, ntx)
+    kernel = _make_kernel(H, W, geom, ntx, pack_pairs=pack_pairs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(K, nty, ntx),

@@ -278,7 +278,7 @@ class ResidentBundleSolver:
             cam_quat=quat[:self._I],
             cam_trans=trans[:self._I],
             intrinsics=intr[:self._C],
-            points=jnp.asarray(points),
+            points=points,  # host numpy (see solve_bundle_fast rationale)
         )
 
 

@@ -69,7 +69,13 @@ def _window_stats(ref, offsets, sg, sigma_color):
     return ref_off, w_off, w_sum, ref_mean, ref_var
 
 
-def _compare(geom, depth_field, normal_field, radius=2, step=2, atol=5e-3):
+def _compare(geom, depth_field, normal_field, radius=2, step=2, atol=None,
+             pack_pairs=True):
+    # the default bf16-pair-packed band quantizes samples at 2^-9 relative
+    # (r5, ROADMAP Perf #3): cost noise up to ~2e-2 on the [0, 2] scale;
+    # pack_pairs=False keeps the exact-f32 path at 5e-3
+    if atol is None:
+        atol = 2.5e-2 if pack_pairs else 5e-3
     H, W, K = 40, 60, 2
     ref, srcs, rays, Kmat, R_rel, t_rel = _scene(H, W, K)
     offsets = pm._window_offsets(radius, step)
@@ -102,6 +108,7 @@ def _compare(geom, depth_field, normal_field, radius=2, step=2, atol=5e-3):
         jnp.asarray(R_rel), jnp.asarray(t_rel), jnp.asarray(Kmat),
         w_off, ref_off, w_sum, ref_mean, ref_var, offsets, sigma_color,
         geom, src_depths, geom_w, geom_max, radius, interpret=True,
+        pack_pairs=pack_pairs,
     )
     c_pal = vc_pallas(depth, normal)
     assert c_pal.shape == (K, H, W)
@@ -120,6 +127,16 @@ def test_pm_pallas_matches_xla_photometric():
         geom=False,
         depth_field=lambda H, W: np.full((H, W), 5.0),
         normal_field=lambda rays: -rays / np.linalg.norm(rays, axis=0),
+    )
+
+
+def test_pm_pallas_exact_path_matches_xla():
+    # unpacked band: exact-f32 bilinear must match the XLA reference tightly
+    _compare(
+        geom=False,
+        depth_field=lambda H, W: np.full((H, W), 5.0),
+        normal_field=lambda rays: -rays / np.linalg.norm(rays, axis=0),
+        pack_pairs=False,
     )
 
 

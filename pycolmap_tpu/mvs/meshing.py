@@ -367,19 +367,121 @@ def _delaunay_mesh_points(xyz, side_len_factor=5.0):
     return surface
 
 
+def _delaunay_visibility_mesh(xyz, centers, obs_pairs, samples: int = 24,
+                              behind_frac: float = 0.15):
+    """Visibility-carved Delaunay surface (the reference CGAL mesher's
+    energy without the graph-cut smoothing term, ref meshing.h:52-117):
+
+    - every sight ray (camera center -> observed point) votes the
+      tetrahedra it crosses OUTSIDE (free space), located by vectorized
+      point-location of samples along the segment;
+    - short ray extensions BEHIND each point vote their tetrahedra INSIDE
+      (matter behind the observed surface);
+    - the surface is the set of faces between outside and inside cells
+      (plus hull faces of inside cells); unvoted cells are labeled by an
+      outside flood fill from the hull that in-voted cells block.
+
+    obs_pairs: [(point_idx, center_idx)] observations. Returns faces
+    [F, 3] (indices into xyz).
+    """
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(xyz)
+    tets = tri.simplices
+    ntet = len(tets)
+    out_votes = np.zeros(ntet, np.float64)
+    in_votes = np.zeros(ntet, np.float64)
+    obs = np.asarray(obs_pairs, np.int64).reshape(-1, 2)
+    chunk = max(1, 2_000_000 // max(samples, 1))
+    ts = np.linspace(0.03, 0.97, samples)
+    for s in range(0, len(obs), chunk):
+        ob = obs[s:s + chunk]
+        p = xyz[ob[:, 0]]
+        c = centers[ob[:, 1]]
+        seg = p - c
+        pts = c[:, None, :] + seg[:, None, :] * ts[None, :, None]
+        simp = tri.find_simplex(pts.reshape(-1, 3))
+        simp = simp[simp >= 0]
+        np.add.at(out_votes, simp, 1.0)
+        # two samples just behind the point
+        for f in (0.4 * behind_frac, behind_frac):
+            back = p + seg * f
+            sb = tri.find_simplex(back)
+            sb = sb[sb >= 0]
+            np.add.at(in_votes, sb, 1.0)
+    # label: voted cells by majority; unvoted cells by a flood fill of
+    # "outside" from the convex hull that IN-voted cells block (a closed
+    # shell's skin stops the flood, so its interior stays solid even
+    # though no sight ray can enter the hull)
+    nb = tri.neighbors  # [ntet, 4], -1 = hull
+    voted_out = out_votes > in_votes
+    voted_in = (in_votes >= out_votes) & (in_votes > 0)
+    outside = voted_out.copy()
+    blocked = voted_in
+    frontier = np.zeros(len(tets), bool)
+    hull_tet = (nb == -1).any(axis=1)
+    frontier |= hull_tet & ~blocked & ~outside
+    outside |= frontier
+    while frontier.any():
+        reach = np.zeros(len(tets), bool)
+        nbs = nb[frontier].reshape(-1)
+        nbs = nbs[nbs >= 0]
+        reach[nbs] = True
+        frontier = reach & ~outside & ~blocked
+        outside |= frontier
+    inside = ~outside
+    # surface: faces between an outside cell and an inside neighbor, plus
+    # hull faces of inside cells (the shell seen from free space beyond
+    # the hull); face k of a tet is opposite vertex k
+    face_of = ((1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2))
+    surf = []
+    for k in range(4):
+        nbk = nb[:, k]
+        sel = outside & (nbk >= 0) & inside[np.maximum(nbk, 0)]
+        sel |= inside & (nbk == -1)
+        if sel.any():
+            surf.append(tets[sel][:, face_of[k]])
+    if not surf:
+        return np.zeros((0, 3), np.int64)
+    return np.concatenate(surf)
+
+
 def sparse_delaunay_meshing(input_path, output_path,
                             options: DelaunayMeshingOptions = None):
-    """Sparse model -> surface mesh (ref: meshing.h:135-149)."""
+    """Sparse model -> surface mesh (ref: meshing.h:135-149).
+
+    r5: visibility-carved Delaunay (track sight rays label free/solid
+    cells; surface = boundary faces) instead of the pure alpha-shape."""
     if options is None:
         options = DelaunayMeshingOptions()
     from pycolmap_tpu.scene import Reconstruction
 
     rec = Reconstruction(input_path)
-    xyz = np.array([p.xyz for p in rec.points3D.values()])
+    pids = list(rec.points3D.keys())
+    xyz = np.array([rec.points3D[p].xyz for p in pids])
     if len(xyz) < 10:
         write_mesh_ply(output_path, np.zeros((0, 3)), np.zeros((0, 3), int))
         return False
-    faces = _delaunay_mesh_points(xyz)
+    # visibility-carved Delaunay (r5; previously a pure alpha-shape): the
+    # reconstruction's tracks supply the sight rays
+    centers_by_img = {
+        iid: rec.images[iid].projection_center()
+        for iid in rec.reg_image_ids
+    }
+    img_row = {iid: k for k, iid in enumerate(centers_by_img)}
+    centers = np.array(list(centers_by_img.values())).reshape(-1, 3)
+    obs_pairs = [
+        (k, img_row[el.image_id])
+        for k, pid in enumerate(pids)
+        for el in rec.points3D[pid].track.elements
+        if el.image_id in img_row
+    ]
+    if len(centers) and obs_pairs:
+        faces = _delaunay_visibility_mesh(xyz, centers, obs_pairs)
+        if len(faces) == 0:  # degenerate visibility -> alpha-shape fallback
+            faces = _delaunay_mesh_points(xyz)
+    else:
+        faces = _delaunay_mesh_points(xyz)
     write_mesh_ply(output_path, xyz, faces)
     return len(faces) > 0
 

@@ -174,3 +174,34 @@ def test_patch_match_kernel_geom_pass_compiles():
     assert depth.shape == (H, W) and normal.shape == (3, H, W)
     inner = np.asarray(cost)[8:-8, 8:-8]
     assert np.median(inner) < 0.5
+
+
+def test_delaunay_visibility_carving_sphere():
+    """Quality gate for the r5 visibility-carved Delaunay mesher: points on
+    a sphere observed by outside-looking-in cameras must mesh to a surface
+    near the sphere (the old alpha-shape kept interior walls; carving must
+    not), with ray-crossed free space carved away."""
+    from pycolmap_tpu.mvs.meshing import _delaunay_visibility_mesh
+
+    rng = np.random.default_rng(0)
+    n = 800
+    R = 2.0
+    # points on the sphere
+    v = rng.normal(size=(n, 3))
+    xyz = R * v / np.linalg.norm(v, axis=1, keepdims=True)
+    # cameras on a larger shell
+    m = 20
+    c = rng.normal(size=(m, 3))
+    centers = 6.0 * c / np.linalg.norm(c, axis=1, keepdims=True)
+    # each point observed by its 3 nearest cameras (front hemisphere-ish)
+    d = np.linalg.norm(xyz[:, None] - centers[None], axis=2)
+    obs = [
+        (i, j) for i in range(n) for j in np.argsort(d[i])[:3]
+    ]
+    faces = _delaunay_visibility_mesh(xyz, centers, obs)
+    assert len(faces) > 200
+    cen = xyz[faces].mean(axis=1)
+    r = np.linalg.norm(cen, axis=1)
+    # surface faces hug the sphere
+    assert np.median(np.abs(r - R)) < 0.15 * R
+    assert (np.abs(r - R) < 0.3 * R).mean() > 0.85

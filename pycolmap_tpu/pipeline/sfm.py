@@ -229,12 +229,21 @@ def _iterative_global_refinement(mapper, options):
 
 
 def _extract_colors(rec, image_path):
-    """Mean track color from source images (ref: reconstruction.h:361-382)."""
+    """Mean track color from source images (ref: reconstruction.h:361-382).
+
+    Vectorized per image: one fancy-indexed color fetch + one segment sum
+    over point ids (the per-observation Python loop cost ~seconds per
+    image at C4/C5 observation counts)."""
     from pycolmap_tpu.pipeline.images import read_image_rgb
+    from pycolmap_tpu.scene.point2d import INVALID_POINT3D_ID
 
     image_path = Path(image_path)
-    sums = {pid: np.zeros(3) for pid in rec.points3D}
-    counts = {pid: 0 for pid in rec.points3D}
+    pids_all = np.fromiter(rec.points3D.keys(), dtype=np.int64)
+    if len(pids_all) == 0:
+        return
+    row_of = {int(p): k for k, p in enumerate(pids_all)}
+    sums = np.zeros((len(pids_all), 3), np.float64)
+    counts = np.zeros(len(pids_all), np.int64)
     for iid in rec.reg_image_ids:
         img = rec.images[iid]
         f = image_path / img.name
@@ -245,18 +254,32 @@ def _extract_colors(rec, image_path):
         except Exception:
             continue
         h, w = arr.shape[:2]
-        for idx in img.get_observation_points2D_idxs():
-            pid = int(img.points2D_point3D_ids[idx])
-            if pid not in sums:
-                continue
-            x, y = img.points2D_xy[idx]
-            xi, yi = int(round(x)), int(round(y))
-            if 0 <= xi < w and 0 <= yi < h:
-                sums[pid] += arr[yi, xi]
-                counts[pid] += 1
-    for pid, pt in rec.points3D.items():
-        if counts[pid] > 0:
-            pt.color = np.clip(sums[pid] / counts[pid], 0, 255).astype(np.uint8)
+        p3d = img.points2D_point3D_ids
+        valid = p3d != np.uint64(INVALID_POINT3D_ID)
+        if not valid.any():
+            continue
+        obs_pid = p3d[valid].astype(np.int64)
+        rows = np.fromiter(
+            (row_of.get(int(p), -1) for p in obs_pid), dtype=np.int64,
+            count=len(obs_pid),
+        )
+        xy = np.rint(img.points2D_xy[valid]).astype(np.int64)
+        ok = (
+            (rows >= 0)
+            & (xy[:, 0] >= 0) & (xy[:, 0] < w)
+            & (xy[:, 1] >= 0) & (xy[:, 1] < h)
+        )
+        rows = rows[ok]
+        xy = xy[ok]
+        colors = arr[xy[:, 1], xy[:, 0]].astype(np.float64)
+        np.add.at(sums, rows, colors)
+        np.add.at(counts, rows, 1)
+    got = counts > 0
+    mean = np.zeros_like(sums)
+    mean[got] = sums[got] / counts[got, None]
+    mean = np.clip(mean, 0, 255).astype(np.uint8)
+    for k in np.nonzero(got)[0]:
+        rec.points3D[int(pids_all[k])].color = mean[k]
 
 
 _PROFILE = __import__("os").environ.get("PYCOLMAP_TPU_PROFILE") == "1"

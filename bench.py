@@ -126,6 +126,45 @@ def run_mapping():
     return n_reg / dt, n_reg
 
 
+def run_sift():
+    """Whole-extract SIFT ms at 960x1280 (pipelined unique inputs, hard
+    sync at end — the r4 methodology; BASELINE.md SIFT row)."""
+    import numpy as np
+
+    import jax
+
+    from pycolmap_tpu.features.sift import Sift, SiftExtractionOptions
+
+    H, W = 960, 1280
+
+    def make_u8(seed):
+        r = np.random.default_rng(seed)
+        base = r.normal(0.5, 0.15, (H // 8, W // 8))
+        img = np.kron(base, np.ones((8, 8))) + r.normal(0, 0.05, (H, W))
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+    s = Sift(SiftExtractionOptions())
+    imgs = [make_u8(i) for i in range(8)]
+    s.extract(imgs[0])  # warm
+
+    from pycolmap_tpu.features.sift import _cached_extract, _extract_jit
+
+    def run(idxs):
+        t0 = time.perf_counter()
+        outs = [
+            _cached_extract(
+                _extract_jit, "sift1", s._to_device_input(imgs[i]),
+                s._static_params(H, W),
+            )
+            for i in idxs
+        ]
+        for o in outs:
+            jax.block_until_ready(o)
+        return (time.perf_counter() - t0) / len(idxs)
+
+    return min(run([1, 2, 3, 4, 5, 6]), run([7, 2, 4, 6, 1, 3])) * 1000.0
+
+
 def main():
     if os.environ.get("BENCH_CPU_WORKER"):
         import jax
@@ -141,6 +180,11 @@ def main():
         reg_per_sec, n_reg = run_mapping()
     except Exception:
         reg_per_sec, n_reg = None, 0
+
+    try:
+        sift_ms = run_sift()
+    except Exception:
+        sift_ms = None
 
     # CPU baseline in a subprocess (fresh backend selection)
     cpu_rate = None
@@ -179,6 +223,9 @@ def main():
                     round(reg_per_sec, 3) if reg_per_sec else None
                 ),
                 "registered_images": n_reg,
+                "sift_extract_ms_960x1280": (
+                    round(sift_ms, 1) if sift_ms else None
+                ),
             }
         )
     )

@@ -2,6 +2,15 @@
 weak #3: the point-sharded solver replicates all camera blocks, which is
 fine at 128 images and dead at 10k+).
 
+NOTE (r5): the PRODUCTION camera-sharding path lives in
+`sfm/ba_kernels._cg_phase` (`cam_mesh` static + sharding constraints —
+GSPMD inserts the all_gather/psum pattern documented below; enabled above
+`PYCOLMAP_TPU_BA_CAM_SHARD_MIN` padded images and verified in compiled
+HLO). This module keeps the block-cyclic assignment helpers and the
+row-sharded DENSE reduced-system CG (`two_level_schur_solve`) — the
+coarse-level solver for hierarchical merges, where sub-model boundary
+systems are small and dense.
+
 First cut of the two-level Schur design (SURVEY.md §2c P4 refinement):
 
   level 1 (existing, ba_kernels mesh path): points + observations sharded

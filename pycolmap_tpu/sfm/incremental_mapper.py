@@ -391,6 +391,11 @@ class IncrementalMapper:
         self, options: IncrementalMapperOptions, image_id: int
     ) -> bool:
         """2D-3D PnP registration (upstream RegisterNextImage)."""
+        import os as _os
+        import time as _time
+
+        _prof = _os.environ.get("PYCOLMAP_TPU_PROFILE") == "1"
+        _t0 = _time.perf_counter()
         rec = self.reconstruction
         graph = self.cache.correspondence_graph
         img = rec.images[image_id]
@@ -424,6 +429,7 @@ class IncrementalMapper:
         pts3D = np.array(pts3D_list, dtype=np.float64).reshape(-1, 3)
         if len(pts2D) < options.abs_pose_min_num_inliers:
             return False
+        _t1 = _time.perf_counter()
 
         est_opts = AbsolutePoseEstimationOptions()
         est_opts.ransac.max_error = options.abs_pose_max_error
@@ -435,6 +441,14 @@ class IncrementalMapper:
         res = estimate_absolute_pose(
             np.asarray(pts2D), np.asarray(pts3D), cam, est_opts, ref_opts
         )
+        if _prof:
+            from pycolmap_tpu.utils import logging as _logging
+
+            _logging.get_logger().info(
+                f"profile register detail: corr {_t1 - _t0:.3f}s "
+                f"pnp {_time.perf_counter() - _t1:.3f}s "
+                f"({len(pts2D)} 2D-3D)"
+            )
         if res is None:
             return False
         if res["num_inliers"] < options.abs_pose_min_num_inliers:

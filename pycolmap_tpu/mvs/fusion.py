@@ -88,6 +88,8 @@ def stereo_fusion(
     fused_xyz = []
     fused_rgb = []
     fused_normal = []
+    fused_vis_counts = []
+    fused_vis_flat = []
     min_consistent = max(options.min_num_pixels // 2, 2)
     for iid, m in model.images.items():
         if iid not in depths:
@@ -110,6 +112,7 @@ def stereo_fusion(
         X_w = np.einsum("ji,jhw->ihw", m.R, X_cam - m.t[:, None, None])
 
         num_consistent = np.zeros((H, W), dtype=np.int32)
+        src_flags = []  # (sid, consistent[H, W]) for the .vis output
         cos_max_normal = np.cos(np.deg2rad(options.max_normal_error))
         for sid in m.src_ids[: options.check_num_images]:
             if sid not in depths:
@@ -160,11 +163,22 @@ def stereo_fusion(
                     cosang = np.sum(n_ref_w * n_src_w, axis=-1)
                     consistent &= cosang > cos_max_normal
             num_consistent += consistent.astype(np.int32)
+            src_flags.append((sid, consistent))
 
         keep = valid & (num_consistent >= min_consistent)
         if not keep.any():
             continue
         pts = X_w[:, keep].T
+        # per-point visibility (ref image + consistent sources): the
+        # reference's fused.ply.vis payload, consumed by dense Delaunay
+        # meshing for sight-ray carving (mvs/meshing.py)
+        vis_ids = np.array([iid] + [sid for sid, _ in src_flags], np.uint32)
+        vis_mask = np.vstack(
+            [np.ones(int(keep.sum()), bool)]
+            + [flag[keep] for _, flag in src_flags]
+        ).T  # [P, 1 + S], row-major nonzero groups ids per point
+        fused_vis_counts.append(vis_mask.sum(axis=1).astype(np.uint32))
+        fused_vis_flat.append(vis_ids[np.nonzero(vis_mask)[1]])
         if colors[iid] is not None:
             cols = colors[iid][keep]
         else:
@@ -184,10 +198,14 @@ def stereo_fusion(
         xyz = np.zeros((0, 3))
         rgb = np.zeros((0, 3), dtype=np.uint8)
         nrm = np.zeros((0, 3))
+        vis_counts = np.zeros(0, np.uint32)
+        vis_flat = np.zeros(0, np.uint32)
     else:
         xyz = np.concatenate(fused_xyz)
         rgb = np.concatenate(fused_rgb)
         nrm = np.concatenate(fused_normal)
+        vis_counts = np.concatenate(fused_vis_counts)
+        vis_flat = np.concatenate(fused_vis_flat)
         # voxel dedup at scene-adaptive resolution
         if len(xyz):
             span = np.percentile(xyz, 95, axis=0) - np.percentile(xyz, 5, axis=0)
@@ -197,10 +215,66 @@ def stereo_fusion(
             xyz = xyz[idx]
             rgb = rgb[idx]
             nrm = nrm[idx]
+            vis_counts, vis_flat = _select_vis(vis_counts, vis_flat, idx)
 
     _write_ply(output_path, xyz, rgb, nrm)
+    write_fused_vis(str(output_path) + ".vis", vis_counts, vis_flat)
     log.info(f"stereo_fusion: {len(xyz)} fused points -> {output_path}")
     return xyz, rgb
+
+
+def _cumsum0(a):
+    """[0, a0, a0+a1, ...] with int64 accumulation."""
+    out = np.zeros(len(a) + 1, np.int64)
+    np.cumsum(a, dtype=np.int64, out=out[1:])
+    return out
+
+
+def _select_vis(counts, flat, idx):
+    """Subset ragged per-point visibility lists to the selected points."""
+    offsets = _cumsum0(counts)
+    cnts = counts[idx].astype(np.int64)
+    total = int(cnts.sum())
+    # ragged gather: each output block = its source start + 0..cnt-1
+    block_base = np.repeat(offsets[idx], cnts)
+    within = np.arange(total) - np.repeat(_cumsum0(cnts)[:-1], cnts)
+    return cnts.astype(np.uint32), flat[block_base + within]
+
+
+def write_fused_vis(path, counts, flat):
+    """COLMAP fused.ply.vis: uint64 N, then per point uint32 count followed
+    by that many uint32 image ids (ref mvs/fusion.cc WritePointsVisibility)."""
+    counts = np.asarray(counts, np.uint32)
+    flat = np.asarray(flat, np.uint32)
+    n = len(counts)
+    buf = np.empty(n + len(flat), np.uint32)
+    # interleave: each point's count sits before its ids
+    out_start = _cumsum0(counts)[:-1] + np.arange(n)
+    buf[out_start] = counts
+    mask = np.ones(len(buf), bool)
+    mask[out_start] = False
+    buf[mask] = flat
+    with open(path, "wb") as f:
+        f.write(np.uint64(n).tobytes())
+        f.write(buf.astype("<u4").tobytes())
+
+
+def read_fused_vis(path):
+    """Read fused.ply.vis -> (counts uint32 [N], flat uint32 ids)."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    n = int(np.frombuffer(raw[:8].tobytes(), dtype="<u8")[0])
+    buf = np.frombuffer(raw[8:].tobytes(), dtype="<u4")
+    counts = np.empty(n, np.uint32)
+    pos = 0
+    starts = np.empty(n, np.int64)
+    # counts are self-delimiting; one pass to locate them
+    for i in range(n):
+        counts[i] = buf[pos]
+        starts[i] = pos + 1
+        pos += 1 + int(buf[pos])
+    mask = np.ones(len(buf), bool)
+    mask[starts - 1] = False
+    return counts, buf[mask]
 
 
 def _write_ply(path, xyz, rgb, normals=None):

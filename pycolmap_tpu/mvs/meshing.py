@@ -286,36 +286,36 @@ def poisson_meshing(
     for c in range(3):
         np.add.at(V[c], (ijk[:, 0], ijk[:, 1], ijk[:, 2]), nr[:, c])
 
-    import jax.numpy as jnp
+    from scipy.fft import dctn, idctn
+    from scipy.ndimage import uniform_filter
 
-    Vj = jnp.asarray(V)
-    # smooth the vector field a little (3-tap box per axis, twice)
-    for _ in range(2):
-        for ax in (1, 2, 3):
-            Vj = (
-                Vj
-                + 0.5 * jnp.roll(Vj, 1, axis=ax)
-                + 0.5 * jnp.roll(Vj, -1, axis=ax)
-            ) / 2.0
-    # divergence via central differences
+    # smooth the vector field a little (3-tap box per axis, twice);
+    # 'nearest' edge handling — no periodic wraparound
+    for c in range(3):
+        for _ in range(2):
+            V[c] = uniform_filter(V[c], size=3, mode="nearest")
+    # divergence (one-sided differences at the borders)
     div = (
-        (jnp.roll(Vj[0], -1, 0) - jnp.roll(Vj[0], 1, 0)) / (2 * spacing[0])
-        + (jnp.roll(Vj[1], -1, 1) - jnp.roll(Vj[1], 1, 1)) / (2 * spacing[1])
-        + (jnp.roll(Vj[2], -1, 2) - jnp.roll(Vj[2], 1, 2)) / (2 * spacing[2])
-    )
-    # spectral Poisson solve (periodic BC)
-    k = jnp.fft.fftfreq(n)
-    kx, ky, kz = jnp.meshgrid(k, k, k, indexing="ij")
+        np.gradient(V[0], spacing[0], axis=0)
+        + np.gradient(V[1], spacing[1], axis=1)
+        + np.gradient(V[2], spacing[2], axis=2)
+    ).astype(np.float32)
+    # spectral Poisson solve under Neumann BCs via DCT-II (the zero-flux
+    # boundary the indicator function actually has; the earlier periodic
+    # FFT wrapped boundary influence across the box). Runs on host: the
+    # reference's PoissonRecon is likewise a CPU post-process
+    # (ref meshing.h:119-133), and scipy provides the DCT directly.
+    k = np.arange(n)
+    lam = 2.0 * (np.cos(np.pi * k / n) - 1.0)
     denom = (
-        (2 * jnp.cos(2 * jnp.pi * kx) - 2) / spacing[0] ** 2
-        + (2 * jnp.cos(2 * jnp.pi * ky) - 2) / spacing[1] ** 2
-        + (2 * jnp.cos(2 * jnp.pi * kz) - 2) / spacing[2] ** 2
+        lam[:, None, None] / spacing[0] ** 2
+        + lam[None, :, None] / spacing[1] ** 2
+        + lam[None, None, :] / spacing[2] ** 2
     )
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
-    chi_hat = jnp.fft.fftn(div) / denom
-    chi_hat = chi_hat.at[0, 0, 0].set(0.0)
-    chi = jnp.real(jnp.fft.ifftn(chi_hat))
-    chi = np.asarray(chi)
+    denom[0, 0, 0] = 1.0
+    chi_hat = dctn(div, type=2, norm="ortho") / denom
+    chi_hat[0, 0, 0] = 0.0
+    chi = idctn(chi_hat, type=2, norm="ortho").astype(np.float32)
 
     # iso level = mean chi at the input samples
     iso = float(np.mean(chi[ijk[:, 0], ijk[:, 1], ijk[:, 2]]))
@@ -367,19 +367,87 @@ def _delaunay_mesh_points(xyz, side_len_factor=5.0):
     return surface
 
 
+def _face_areas(xyz, tets, face_idx):
+    """Areas of the faces opposite vertex k=face_idx of each tet."""
+    face_of = ((1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2))
+    v = xyz[tets[:, face_of[face_idx]]]  # [ntet, 3, 3]
+    return 0.5 * np.linalg.norm(
+        np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=1
+    )
+
+
+def _threshold_labels(tets, nb, out_votes, in_votes):
+    """Vote-majority labeling + outside flood fill from the hull that
+    in-voted cells block (the pre-r5 labeler; fallback when the native
+    min-cut is unavailable on a large graph). Returns outside[ntet] bool."""
+    voted_out = out_votes > in_votes
+    voted_in = (in_votes >= out_votes) & (in_votes > 0)
+    outside = voted_out.copy()
+    blocked = voted_in
+    frontier = np.zeros(len(tets), bool)
+    hull_tet = (nb == -1).any(axis=1)
+    frontier |= hull_tet & ~blocked & ~outside
+    outside |= frontier
+    while frontier.any():
+        reach = np.zeros(len(tets), bool)
+        nbs = nb[frontier].reshape(-1)
+        nbs = nbs[nbs >= 0]
+        reach[nbs] = True
+        frontier = reach & ~outside & ~blocked
+        outside |= frontier
+    return outside
+
+
+def _graphcut_labels(xyz, tets, nb, out_votes, in_votes, regularization):
+    """Labatut-Pons graph-cut labeling (the reference CGAL mesher's energy,
+    ref meshing.h:52-117 `quality_regularization`): per-cell terminal
+    capacities from the visibility votes, face-area-weighted smoothness
+    n-links between adjacent cells, hull cells source-linked through their
+    hull-face area (the infinite outside cell), minimized exactly by s-t
+    min-cut (native Dinic, pycolmap_tpu/native/graph_ops.cc). Returns
+    outside[ntet] bool, or None if no solver is viable at this size."""
+    from pycolmap_tpu import native
+
+    ntet = len(tets)
+    if native.get_lib() is None and ntet > 30_000:
+        return None  # python-Dinic fallback too slow at this size
+    eu, ev, areas = [], [], []
+    hull_bonus = np.zeros(ntet, np.float64)
+    for k in range(4):
+        a_k = _face_areas(xyz, tets, k)
+        nbk = nb[:, k]
+        sel = nbk > np.arange(ntet)  # each adjacent pair once
+        eu.append(np.nonzero(sel)[0])
+        ev.append(nbk[sel])
+        areas.append(a_k[sel])
+        hull_bonus += np.where(nbk == -1, a_k, 0.0)
+    eu = np.concatenate(eu)
+    ev = np.concatenate(ev)
+    areas = np.concatenate(areas)
+    med_area = max(float(np.median(areas)), 1e-12) if len(areas) else 1.0
+    lam = float(regularization)
+    ecap = (lam * areas / med_area).astype(np.float32)
+    net = (out_votes - in_votes + lam * hull_bonus / med_area).astype(
+        np.float32
+    )
+    return native.min_cut(ntet, eu, ev, ecap, net).astype(bool)
+
+
 def _delaunay_visibility_mesh(xyz, centers, obs_pairs, samples: int = 24,
-                              behind_frac: float = 0.15):
+                              behind_frac: float = 0.15,
+                              regularization: float = 1.0):
     """Visibility-carved Delaunay surface (the reference CGAL mesher's
-    energy without the graph-cut smoothing term, ref meshing.h:52-117):
+    energy, ref meshing.h:52-117):
 
     - every sight ray (camera center -> observed point) votes the
       tetrahedra it crosses OUTSIDE (free space), located by vectorized
       point-location of samples along the segment;
     - short ray extensions BEHIND each point vote their tetrahedra INSIDE
       (matter behind the observed surface);
-    - the surface is the set of faces between outside and inside cells
-      (plus hull faces of inside cells); unvoted cells are labeled by an
-      outside flood fill from the hull that in-voted cells block.
+    - cells are labeled by the Labatut-Pons graph cut (r5:
+      `_graphcut_labels`; vote-threshold + flood-fill fallback), and the
+      surface is the set of faces between outside and inside cells (plus
+      hull faces of inside cells).
 
     obs_pairs: [(point_idx, center_idx)] observations. Returns faces
     [F, 3] (indices into xyz).
@@ -409,26 +477,12 @@ def _delaunay_visibility_mesh(xyz, centers, obs_pairs, samples: int = 24,
             sb = tri.find_simplex(back)
             sb = sb[sb >= 0]
             np.add.at(in_votes, sb, 1.0)
-    # label: voted cells by majority; unvoted cells by a flood fill of
-    # "outside" from the convex hull that IN-voted cells block (a closed
-    # shell's skin stops the flood, so its interior stays solid even
-    # though no sight ray can enter the hull)
     nb = tri.neighbors  # [ntet, 4], -1 = hull
-    voted_out = out_votes > in_votes
-    voted_in = (in_votes >= out_votes) & (in_votes > 0)
-    outside = voted_out.copy()
-    blocked = voted_in
-    frontier = np.zeros(len(tets), bool)
-    hull_tet = (nb == -1).any(axis=1)
-    frontier |= hull_tet & ~blocked & ~outside
-    outside |= frontier
-    while frontier.any():
-        reach = np.zeros(len(tets), bool)
-        nbs = nb[frontier].reshape(-1)
-        nbs = nbs[nbs >= 0]
-        reach[nbs] = True
-        frontier = reach & ~outside & ~blocked
-        outside |= frontier
+    outside = _graphcut_labels(
+        xyz, tets, nb, out_votes, in_votes, regularization
+    )
+    if outside is None:
+        outside = _threshold_labels(tets, nb, out_votes, in_votes)
     inside = ~outside
     # surface: faces between an outside cell and an inside neighbor, plus
     # hull faces of inside cells (the shell seen from free space beyond
@@ -477,7 +531,10 @@ def sparse_delaunay_meshing(input_path, output_path,
         if el.image_id in img_row
     ]
     if len(centers) and obs_pairs:
-        faces = _delaunay_visibility_mesh(xyz, centers, obs_pairs)
+        faces = _delaunay_visibility_mesh(
+            xyz, centers, obs_pairs,
+            regularization=options.quality_regularization,
+        )
         if len(faces) == 0:  # degenerate visibility -> alpha-shape fallback
             faces = _delaunay_mesh_points(xyz)
     else:
@@ -488,17 +545,65 @@ def sparse_delaunay_meshing(input_path, output_path,
 
 def dense_delaunay_meshing(input_path, output_path,
                            options: DelaunayMeshingOptions = None):
-    """Fused dense PLY -> surface mesh (ref: meshing.h:151-165)."""
+    """Dense workspace (or fused PLY) -> surface mesh (ref: meshing.h:151-165).
+
+    Like the reference (which takes the dense workspace directory and reads
+    fused.ply + fused.ply.vis), a directory input runs the full
+    visibility-carved graph-cut mesher using the fusion's per-point
+    visibility lists (mvs/fusion.py write_fused_vis) and the workspace
+    camera centers. A bare PLY path (no visibility available) falls back to
+    the alpha-shape surface."""
     if options is None:
         options = DelaunayMeshingOptions()
-    xyz, _, _ = read_fused_ply(input_path)
+    input_path = Path(input_path)
+    vis = None
+    centers = None
+    if input_path.is_dir():
+        ply = input_path / "fused.ply"
+        vis_path = Path(str(ply) + ".vis")
+        xyz, _, _ = read_fused_ply(ply)
+        if vis_path.exists():
+            from pycolmap_tpu.mvs.fusion import read_fused_vis
+            from pycolmap_tpu.mvs.workspace import MVSModel
+
+            counts, flat = read_fused_vis(vis_path)
+            if len(counts) == len(xyz):
+                model = MVSModel(input_path)
+                cam_row = {}
+                cams = []
+                for iid, m in model.images.items():
+                    cam_row[iid] = len(cams)
+                    cams.append(-m.R.T @ m.t)
+                centers = np.asarray(cams).reshape(-1, 3)
+                vis = (counts, flat, cam_row)
+    else:
+        xyz, _, _ = read_fused_ply(input_path)
     if len(xyz) < 10:
         write_mesh_ply(output_path, np.zeros((0, 3)), np.zeros((0, 3), int))
         return False
     # subsample for tractable Delaunay
+    sel = None
     if len(xyz) > 200_000:
         sel = np.random.default_rng(0).choice(len(xyz), 200_000, replace=False)
         xyz = xyz[sel]
-    faces = _delaunay_mesh_points(xyz)
+    if vis is not None and len(centers):
+        counts, flat, cam_row = vis
+        offsets = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, dtype=np.int64, out=offsets[1:])
+        pts_idx = sel if sel is not None else np.arange(len(counts))
+        obs_pairs = [
+            (k, cam_row[int(flat[o])])
+            for k, i in enumerate(pts_idx)
+            for o in range(offsets[i], offsets[i + 1])
+            if int(flat[o]) in cam_row
+        ]
+        faces = _delaunay_visibility_mesh(
+            xyz, centers, obs_pairs,
+            regularization=options.quality_regularization,
+        )
+        if len(faces) == 0:
+            faces = _delaunay_mesh_points(xyz)
+    else:
+        faces = _delaunay_mesh_points(xyz)
     write_mesh_ply(output_path, xyz, faces)
     return len(faces) > 0

@@ -78,6 +78,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.graph_min_cut.restype = ctypes.c_int64
+        lib.graph_min_cut.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -86,6 +91,105 @@ def get_lib():
 
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def min_cut(num_nodes: int, edge_u: np.ndarray, edge_v: np.ndarray,
+            edge_cap: np.ndarray, net_cap: np.ndarray) -> np.ndarray:
+    """s-t min-cut labels over an undirected graph with folded terminal
+    capacities (net_cap > 0: source arc, < 0: sink arc). Returns uint8
+    labels, 1 = source side. Native Dinic when available; a pure-Python
+    Dinic fallback handles toolchain-less hosts (slow — fine for the
+    test-scale graphs that path sees)."""
+    edge_u = np.ascontiguousarray(edge_u, dtype=np.int64)
+    edge_v = np.ascontiguousarray(edge_v, dtype=np.int64)
+    edge_cap = np.ascontiguousarray(edge_cap, dtype=np.float32)
+    net_cap = np.ascontiguousarray(net_cap, dtype=np.float32)
+    lib = get_lib()
+    if lib is not None:
+        label = np.zeros(max(num_nodes, 1), dtype=np.uint8)
+        n = lib.graph_min_cut(
+            num_nodes, _ptr(edge_u), _ptr(edge_v), _ptr(edge_cap),
+            len(edge_u), _ptr(net_cap), _ptr(label),
+        )
+        if n >= 0:
+            return label[:num_nodes]
+    return _min_cut_py(num_nodes, edge_u, edge_v, edge_cap, net_cap)
+
+
+def _min_cut_py(n, eu, ev, ecap, net):
+    """Pure-Python Dinic (adjacency lists of [to, cap, rev-index])."""
+    S, T = n, n + 1
+    graph = [[] for _ in range(n + 2)]
+
+    def add(u, v, c, crev):
+        graph[u].append([v, float(c), len(graph[v])])
+        graph[v].append([u, float(crev), len(graph[u]) - 1])
+
+    for u, v, c in zip(eu, ev, ecap):
+        add(int(u), int(v), c, c)
+    for i, c in enumerate(net):
+        if c > 0:
+            add(S, i, c, 0.0)
+        elif c < 0:
+            add(i, T, -c, 0.0)
+
+    from collections import deque
+
+    EPS = 1e-12
+    level = [0] * (n + 2)
+
+    def bfs():
+        for i in range(n + 2):
+            level[i] = -1
+        dq = deque([S])
+        level[S] = 0
+        while dq:
+            u = dq.popleft()
+            for arc in graph[u]:
+                if arc[1] > EPS and level[arc[0]] < 0:
+                    level[arc[0]] = level[u] + 1
+                    dq.append(arc[0])
+        return level[T] >= 0
+
+    def dfs(u, f, iters):
+        if u == T:
+            return f
+        while iters[u] < len(graph[u]):
+            arc = graph[u][iters[u]]
+            v = arc[0]
+            if arc[1] > EPS and level[v] == level[u] + 1:
+                d = dfs(v, min(f, arc[1]), iters)
+                if d > EPS:
+                    arc[1] -= d
+                    graph[v][arc[2]][1] += d
+                    return d
+            iters[u] += 1
+        return 0.0
+
+    import sys as _s
+
+    old = _s.getrecursionlimit()
+    _s.setrecursionlimit(max(old, n + 50))
+    try:
+        while bfs():
+            iters = [0] * (n + 2)
+            while dfs(S, float("inf"), iters) > EPS:
+                pass
+    finally:
+        _s.setrecursionlimit(old)
+    # residual-reachable from S
+    label = np.zeros(max(n, 1), dtype=np.uint8)
+    dq = deque([S])
+    seen = np.zeros(n + 2, dtype=bool)
+    seen[S] = True
+    while dq:
+        u = dq.popleft()
+        for arc in graph[u]:
+            if arc[1] > EPS and not seen[arc[0]]:
+                seen[arc[0]] = True
+                dq.append(arc[0])
+    label[:n] = seen[:n]
+    return label[:n]
 
 
 class GraphTraversal:

@@ -158,4 +158,125 @@ int64_t expand_merge_pairs(
   return std::unique(out_codes, out_codes + n) - out_codes;
 }
 
+// s-t min-cut labeling by Dinic max-flow — the energy minimizer of the
+// Delaunay mesher's graph-cut (the reference delegates to CGAL's
+// visibility-consistent surface extraction, ref meshing.h:52-117; the
+// Labatut-Pons construction puts per-cell terminal capacities and
+// face-area-weighted n-links between adjacent tetrahedra).
+//
+// Inputs: m undirected n-links (eu[i], ev[i], ecap[i]) with equal capacity
+// both ways; per-node net terminal capacity net_cap[i] (>0: arc from the
+// source with that capacity, <0: arc to the sink). Writes label[i] = 1 for
+// source-side (outside/free-space) nodes. Returns the number of
+// source-side nodes, or -1 on allocation failure.
+int64_t graph_min_cut(int64_t n, const int64_t* eu, const int64_t* ev,
+                      const float* ecap, int64_t m, const float* net_cap,
+                      uint8_t* label) {
+  const int64_t S = n, T = n + 1, N = n + 2;
+  std::vector<int64_t> head, to, nxt;
+  std::vector<double> cap;
+  try {
+    head.assign(N, -1);
+    to.reserve(2 * m + 2 * n);
+    nxt.reserve(2 * m + 2 * n);
+    cap.reserve(2 * m + 2 * n);
+  } catch (...) {
+    return -1;
+  }
+  auto add_arc = [&](int64_t u, int64_t v, double c, double crev) {
+    to.push_back(v);
+    cap.push_back(c);
+    nxt.push_back(head[u]);
+    head[u] = (int64_t)to.size() - 1;
+    to.push_back(u);
+    cap.push_back(crev);
+    nxt.push_back(head[v]);
+    head[v] = (int64_t)to.size() - 1;
+  };
+  for (int64_t i = 0; i < m; ++i) {
+    if (eu[i] < 0 || eu[i] >= n || ev[i] < 0 || ev[i] >= n) continue;
+    add_arc(eu[i], ev[i], ecap[i], ecap[i]);
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (net_cap[i] > 0.0f) add_arc(S, i, net_cap[i], 0.0);
+    else if (net_cap[i] < 0.0f) add_arc(i, T, -(double)net_cap[i], 0.0);
+  }
+  std::vector<int32_t> level(N);
+  std::vector<int64_t> it(N), q(N), path;
+  const double EPS = 1e-12;
+  auto bfs = [&]() -> bool {
+    std::fill(level.begin(), level.end(), -1);
+    int64_t qh = 0, qt = 0;
+    q[qt++] = S;
+    level[S] = 0;
+    while (qh < qt) {
+      int64_t u = q[qh++];
+      for (int64_t e = head[u]; e != -1; e = nxt[e]) {
+        if (cap[e] > EPS && level[to[e]] < 0) {
+          level[to[e]] = level[u] + 1;
+          q[qt++] = to[e];
+        }
+      }
+    }
+    return level[T] >= 0;
+  };
+  while (bfs()) {
+    for (int64_t i = 0; i < N; ++i) it[i] = head[i];
+    for (;;) {
+      // one augmenting path via current-arc iterative DFS
+      path.clear();
+      int64_t u = S;
+      bool found = false;
+      for (;;) {
+        if (u == T) {
+          found = true;
+          break;
+        }
+        int64_t e = it[u];
+        while (e != -1 && !(cap[e] > EPS && level[to[e]] == level[u] + 1)) {
+          e = nxt[e];
+        }
+        it[u] = e;
+        if (e == -1) {
+          if (path.empty()) break;  // no more paths this phase
+          level[u] = -1;            // dead end: prune from the level graph
+          int64_t pe = path.back();
+          path.pop_back();
+          u = to[pe ^ 1];  // arc pairs: reverse of e is e^1, tail = to[e^1]
+        } else {
+          path.push_back(e);
+          u = to[e];
+        }
+      }
+      if (!found) break;
+      double f = 1e300;
+      for (int64_t pe : path) f = std::min(f, cap[pe]);
+      for (int64_t pe : path) {
+        cap[pe] -= f;
+        cap[pe ^ 1] += f;
+      }
+    }
+  }
+  // min-cut: source side = residual-reachable from S
+  std::fill(level.begin(), level.end(), -1);
+  int64_t qh = 0, qt = 0;
+  q[qt++] = S;
+  level[S] = 0;
+  while (qh < qt) {
+    int64_t u = q[qh++];
+    for (int64_t e = head[u]; e != -1; e = nxt[e]) {
+      if (cap[e] > EPS && level[to[e]] < 0) {
+        level[to[e]] = 0;
+        q[qt++] = to[e];
+      }
+    }
+  }
+  int64_t n_src = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    label[i] = level[i] == 0 ? 1 : 0;
+    n_src += label[i];
+  }
+  return n_src;
+}
+
 }  // extern "C"

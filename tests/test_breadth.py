@@ -178,6 +178,42 @@ class TestNative:
         assert (3, 2) in native
         assert (4, 5) in native
 
+    def test_min_cut_chain(self):
+        from pycolmap_tpu import native
+
+        eu = np.array([0, 1])
+        ev = np.array([1, 2])
+        ecap = np.array([1.0, 5.0], np.float32)
+        net = np.array([10.0, 0.0, -10.0], np.float32)
+        # cheapest cut severs the weak 0-1 edge
+        assert native.min_cut(3, eu, ev, ecap, net).tolist() == [1, 0, 0]
+        assert native._min_cut_py(3, eu, ev, ecap, net).tolist() == [1, 0, 0]
+
+    def test_min_cut_native_matches_python_cost(self):
+        from pycolmap_tpu import native
+
+        if native.get_lib() is None:
+            pytest.skip("no C++ toolchain")
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            n, m = 25, 70
+            eu = rng.integers(0, n, m)
+            ev = rng.integers(0, n, m)
+            keep = eu != ev
+            eu, ev = eu[keep].astype(np.int64), ev[keep].astype(np.int64)
+            ecap = rng.uniform(0.1, 2.0, len(eu)).astype(np.float32)
+            net = rng.normal(0, 3.0, n).astype(np.float32)
+
+            def cut_cost(lab):
+                c = float(np.sum(ecap[lab[eu] != lab[ev]]))
+                c += float(np.sum(np.maximum(net, 0)[lab == 0]))
+                c += float(np.sum(np.maximum(-net, 0)[lab == 1]))
+                return c
+
+            c_native = cut_cost(native.min_cut(n, eu, ev, ecap, net))
+            c_py = cut_cost(native._min_cut_py(n, eu, ev, ecap, net))
+            assert abs(c_native - c_py) < 1e-4
+
 
 class TestRetrieval:
     def test_bow_pairs(self, tmp_path):

@@ -116,6 +116,73 @@ def test_patch_match_fusion_meshing(tmp_path):
     mo.depth = 6
     assert poisson_meshing(ws / "fused.ply", ws / "mesh.ply", mo)
     assert sparse_delaunay_meshing(ws / "sparse", ws / "sparse_mesh.ply")
+    # dense Delaunay from the workspace: consumes fused.ply.vis (r5)
+    from pycolmap_tpu.pipeline import dense_delaunay_meshing
+
+    assert (ws / "fused.ply.vis").exists()
+    assert dense_delaunay_meshing(ws, ws / "dense_mesh.ply")
+
+
+def test_poisson_sphere_quality(tmp_path):
+    """Quality gate for the Neumann (DCT) Poisson solve: oriented points on
+    a sphere must reconstruct a surface hugging the sphere, with no
+    periodic-wraparound sheets near the box boundary."""
+    from pycolmap_tpu.mvs.fusion import _write_ply
+    from pycolmap_tpu.mvs.meshing import (
+        PoissonMeshingOptions,
+        poisson_meshing,
+    )
+
+    def read_mesh_vertices(path):
+        with open(path, "rb") as f:
+            nv = 0
+            while True:
+                line = f.readline().strip().decode("ascii")
+                if line.startswith("element vertex"):
+                    nv = int(line.split()[2])
+                elif line == "end_header":
+                    break
+            return np.frombuffer(
+                f.read(12 * nv), dtype="<f4"
+            ).reshape(nv, 3)
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    R = 2.0
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    xyz = R * v
+    normals = v  # outward
+    rgb = np.full((n, 3), 128, np.uint8)
+    _write_ply(tmp_path / "fused.ply", xyz, rgb, normals)
+    mo = PoissonMeshingOptions()
+    mo.depth = 6
+    assert poisson_meshing(tmp_path / "fused.ply", tmp_path / "mesh.ply", mo)
+    verts = read_mesh_vertices(tmp_path / "mesh.ply")
+    r = np.linalg.norm(verts, axis=1)
+    assert np.median(np.abs(r - R)) < 0.1 * R
+    assert (np.abs(r - R) < 0.25 * R).mean() > 0.9
+
+
+def test_fused_vis_roundtrip(tmp_path):
+    """fused.ply.vis writer/reader + ragged subset (mvs/fusion.py r5)."""
+    from pycolmap_tpu.mvs.fusion import (
+        _select_vis,
+        read_fused_vis,
+        write_fused_vis,
+    )
+
+    counts = np.array([2, 1, 3, 1], np.uint32)
+    flat = np.array([5, 7, 2, 9, 1, 4, 3], np.uint32)
+    p = tmp_path / "fused.ply.vis"
+    write_fused_vis(p, counts, flat)
+    c2, f2 = read_fused_vis(p)
+    assert c2.tolist() == counts.tolist()
+    assert f2.tolist() == flat.tolist()
+    # subset points 2 and 0 (in that order)
+    c3, f3 = _select_vis(counts, flat, np.array([2, 0]))
+    assert c3.tolist() == [3, 2]
+    assert f3.tolist() == [9, 1, 4, 5, 7]
 
 
 def test_consistency_graph_roundtrip(tmp_path):
@@ -205,3 +272,39 @@ def test_delaunay_visibility_carving_sphere():
     # surface faces hug the sphere
     assert np.median(np.abs(r - R)) < 0.15 * R
     assert (np.abs(r - R) < 0.3 * R).mean() > 0.85
+
+
+def test_delaunay_graphcut_smooths_spurious_votes():
+    """The r5 graph-cut labeler (Labatut-Pons energy) must absorb an
+    isolated spurious free-space vote inside solid matter — the threshold
+    labeler flips that cell (a one-cell hole); the min-cut pays the small
+    terminal capacity instead of cutting all four face n-links."""
+    from scipy.spatial import Delaunay
+
+    from pycolmap_tpu.mvs.meshing import (
+        _graphcut_labels,
+        _threshold_labels,
+    )
+
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(300, 3))
+    tri = Delaunay(xyz)
+    tets = tri.simplices
+    nb = tri.neighbors
+    ntet = len(tets)
+    # solid everywhere: strong in votes
+    in_votes = np.full(ntet, 10.0)
+    out_votes = np.zeros(ntet)
+    # one interior cell gets a small spurious free-space vote
+    interior = np.nonzero((nb >= 0).all(axis=1))[0]
+    spur = interior[0]
+    out_votes[spur] = 11.0
+    in_votes[spur] = 0.0
+
+    thr = _threshold_labels(tets, nb, out_votes, in_votes)
+    assert thr[spur]  # threshold labeling keeps the hole
+    gc = _graphcut_labels(xyz, tets, nb, out_votes, in_votes, 5.0)
+    assert gc is not None
+    assert not gc[spur]  # graph cut smooths it away
+    # and the genuinely-voted solid stays solid
+    assert gc.sum() < 0.1 * ntet

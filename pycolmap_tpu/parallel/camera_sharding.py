@@ -7,9 +7,10 @@ NOTE (r5): the PRODUCTION camera-sharding path lives in
 GSPMD inserts the all_gather/psum pattern documented below; enabled above
 `PYCOLMAP_TPU_BA_CAM_SHARD_MIN` padded images and verified in compiled
 HLO). This module keeps the block-cyclic assignment helpers and the
-row-sharded DENSE reduced-system CG (`two_level_schur_solve`) — the
-coarse-level solver for hierarchical merges, where sub-model boundary
-systems are small and dense.
+row-sharded DENSE reduced-system CG (`two_level_schur_solve`) — a
+standalone, parity-tested building block for a future materialized-S
+path (tests/test_camera_sharding.py); the production solve path does not
+call it.
 
 First cut of the two-level Schur design (SURVEY.md §2c P4 refinement):
 

@@ -753,33 +753,6 @@ _extract_jit = functools.partial(jax.jit, static_argnames=_EXTRACT_STATICS)(
 )
 
 
-@functools.partial(jax.jit, static_argnames=_EXTRACT_STATICS)
-def _extract_batch_jit(
-    images, height, width, num_octaves, S, first_octave, per_octave_kps,
-    max_num_orientations, normalization, upright, peak_threshold, edge_threshold,
-    dsp_scales=(), affine_shape=False,
-):
-    """Batched SIFT over a [B, H, W] stack of same-size images.
-
-    One jit call for all images amortizes the remote dispatch latency.
-    Images are unrolled in the trace rather than vmapped: the window-sampler
-    Pallas kernel uses scalar-prefetch + manual DMA, which does not batch
-    under vmap."""
-
-    B = images.shape[0]
-    outs = [
-        _extract_core(
-            images[b], height, width, num_octaves, S, first_octave,
-            per_octave_kps, max_num_orientations, normalization, upright,
-            peak_threshold, edge_threshold, dsp_scales, affine_shape,
-        )
-        for b in range(B)
-    ]
-    return tuple(
-        jnp.stack([o[i] for o in outs]) for i in range(len(outs[0]))
-    )
-
-
 def _cached_extract(jf, tag, arr, params):
     """Dispatch an extraction jit through the persistent executable cache
     (utils/aot_cache.py): the extractor's XLA program is the largest
@@ -881,32 +854,32 @@ class Sift:
         return self._postprocess(kp_x, kp_y, kp_s, kp_t, descs, mask)
 
     def extract_batch(self, images):
-        """Batched extraction of SAME-SIZE images (one vmapped device call).
+        """Batched extraction of SAME-SIZE images (pipelined dispatches).
 
         images: sequence of HxW arrays with identical shapes. Returns a list
         of (keypoints Nx4, descriptors Nx128) tuples.
+
+        Dispatches the SINGLE-image program once per image and only syncs at
+        the end: each image's H2D upload overlaps the previous image's
+        compute, which measured ~1.5x faster per image than one stacked
+        [B, H, W] program (the stack is one large serialized upload, and the
+        unrolled B-image trace serializes compute too — 120 vs 80 ms/img at
+        960x1280 through the remote tunnel, BASELINE.md r5). Also keeps one
+        compile signature ("sift1") instead of two.
         """
         if not images:
             return []
         grays = [self._to_device_input(im) for im in images]
-        if len({g.dtype for g in grays}) > 1:
-            grays = [
-                g.astype(np.float32) / 255.0 if g.dtype == np.uint8 else g
-                for g in grays
-            ]
         h, w = grays[0].shape
         for g in grays:
             if g.shape != (h, w):
                 raise ValueError("extract_batch requires same-size images")
-        stack = np.stack(grays)
-        out = _cached_extract(_extract_batch_jit, "siftB", stack,
-                              self._static_params(h, w))
-        kp_x, kp_y, kp_s, kp_t, descs, mask = jax.device_get(out)
+        params = self._static_params(h, w)
+        outs = [
+            _cached_extract(_extract_jit, "sift1", g, params) for g in grays
+        ]
         return [
-            self._postprocess(
-                kp_x[b], kp_y[b], kp_s[b], kp_t[b], descs[b], mask[b]
-            )
-            for b in range(len(grays))
+            self._postprocess(*jax.device_get(out)) for out in outs
         ]
 
 

@@ -17,14 +17,16 @@ from pycolmap_tpu.pipeline.images import (
     CameraMode,
     ImageReaderOptions,
     import_images,
-    list_images,
-    read_image_gray,
+    read_image_gray_u8,
 )
 from pycolmap_tpu.scene import Database, DatabaseTransaction
 
 
 def _resize_to_max(img: np.ndarray, max_size: int):
-    """Downsample so max(h, w) <= max_size; returns (img, scale)."""
+    """Downsample so max(h, w) <= max_size; returns (img, scale).
+
+    uint8 stays uint8 across the resize (quantization <= 1/255, far below
+    SIFT's noise floor) so the device upload keeps the 4x u8 size win."""
     h, w = img.shape
     if max(h, w) <= max_size:
         return img, 1.0
@@ -34,8 +36,13 @@ def _resize_to_max(img: np.ndarray, max_size: int):
 
     new_h, new_w = int(round(h * scale)), int(round(w * scale))
     out = np.asarray(
-        jax.image.resize(jnp.asarray(img), (new_h, new_w), method="bilinear")
+        jax.image.resize(
+            jnp.asarray(img, dtype=jnp.float32), (new_h, new_w),
+            method="bilinear",
+        )
     )
+    if img.dtype == np.uint8:
+        out = np.clip(np.round(out), 0, 255).astype(np.uint8)
     return out, max(h, w) / max_size
 
 
@@ -93,7 +100,7 @@ def extract_features(
             f = image_path / img.name
             if not f.exists():
                 continue
-            arr = read_image_gray(f)
+            arr = read_image_gray_u8(f)
             arr_small, inv_scale = _resize_to_max(arr, sift_options.max_image_size)
             batch = pending.setdefault(arr_small.shape, [])
             batch.append((img, arr_small, inv_scale))

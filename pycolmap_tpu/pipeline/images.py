@@ -78,6 +78,16 @@ def read_image_gray(path) -> np.ndarray:
         return np.asarray(im, dtype=np.float32) / 255.0
 
 
+def read_image_gray_u8(path) -> np.ndarray:
+    """HxW uint8 grayscale — for device consumers that normalize on
+    device (features/sift.py): the raw u8 crosses the remote tunnel 4x
+    smaller than f32, which dominated the whole-extract wall (BASELINE r5)."""
+    from PIL import Image as PILImage
+
+    with PILImage.open(path) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
+
+
 def read_image_rgb(path) -> np.ndarray:
     from PIL import Image as PILImage
 

@@ -36,6 +36,8 @@ from pycolmap_tpu.sfm.incremental_triangulator import (
 from pycolmap_tpu.sfm.problem import apply_bundle_solution, build_bundle_problem
 from pycolmap_tpu.utils.options import BaseOptions, options_dataclass
 
+_init_tri_jit = None  # lazily jitted seed-triangulation (see init pair)
+
 
 class ImageSelectionMethod(enum.IntEnum):
     """ref: sfm/incremental_mapper.h:14-21."""
@@ -261,13 +263,33 @@ class IncrementalMapper:
         from pycolmap_tpu.ops import solvers as sv
         import jax.numpy as jnp
 
+        # pow2-padded + exec-cached: the eager data-shaped triangulate_dlt
+        # here cost ~19 s of the 26 s init phase in a warm fresh process
+        # (each primitive op dispatches/compiles individually through the
+        # remote tunnel at a first-seen shape)
+        import sys as _sys
+
+        from pycolmap_tpu.utils import aot_cache
+
+        global _init_tri_jit
+        if _init_tri_jit is None:
+            import jax
+
+            _init_tri_jit = jax.jit(sv.triangulate_dlt)
+        n_real = len(x1)
+        Np = max(256, 1 << (n_real - 1).bit_length())
         proj = np.stack([P1, P2]).astype(np.float32)
+        projs = np.broadcast_to(proj, (Np, 2, 3, 4))
+        xs = np.zeros((Np, 2, 2), np.float32)
+        xs[:n_real, 0] = xn1
+        xs[:n_real, 1] = xn2
         X = np.asarray(
-            sv.triangulate_dlt(
-                jnp.asarray(np.broadcast_to(proj, (len(x1), 2, 3, 4))),
-                jnp.asarray(np.stack([xn1, xn2], axis=1).astype(np.float32)),
+            aot_cache.cached_call(
+                _init_tri_jit, "init_tri",
+                aot_cache.source_salt(_sys.modules[__name__], sv), {},
+                jnp.asarray(np.ascontiguousarray(projs)), jnp.asarray(xs),
             )
-        ).astype(np.float64)
+        )[:n_real].astype(np.float64)
         Xh = np.concatenate([X, np.ones((len(X), 1))], axis=1)
         z1 = Xh @ P1[2]
         z2 = Xh @ P2[2]
